@@ -1,0 +1,74 @@
+"""Solver configuration.
+
+The reference hard-codes every knob as a compile-time ``#define``
+(tolerances ``PQP_CPU.c:19-22``, iteration cap ``PQP_CPU.c:24``, theta floor
+inside ``diagonalAdd`` ``PQP_CPU.c:235-242``, Y0 inside ``solveQuadraticDual``
+``PQP_CPU.c:710``).  Here they are runtime values carried in a small static
+dataclass; array shapes stay static so everything jits once per shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for the PQP dual solver.
+
+    Attributes mirror the reference's compile-time constants:
+
+    * ``erc, eac, eaj, erj`` — the four convergence tolerances
+      (relative/absolute constraint, absolute/relative duality gap),
+      ref ``PQP_CPU.c:19-22`` (all ``1e-6``).
+    * ``theta_floor`` — floor applied to the diagonal regularizer
+      theta_ii = max(rowsum(Qd^-)_i, theta_floor), ref ``PQP_CPU.c:240``
+      (``5.0``; the benchmark-harness variants use ``100.0``).
+    * ``y0`` — initial dual iterate value, ref ``PQP_CPU.c:710`` (``1000.0``).
+    * ``max_iters`` — hard iteration cap.  The reference's root variants
+      iterate unboundedly until convergence (``PQP_CPU.c:718``); a cap is the
+      principled TPU equivalent (static upper bound for the while loop when
+      needed, and divergence protection the reference lacks).
+    * ``check_every`` — convergence-check cadence.  The reference checks
+      every iteration (11 matmuls per check, ``PQP_CPU.c:673-687``).  The
+      multiplicative update itself never reads the check's outputs, so
+      checking every k-th iteration leaves the iterate trajectory unchanged
+      and only coarsens the *reported* iteration count to a multiple of k.
+    * ``unroll`` — how many multiplicative updates to fuse per while-loop
+      body between checks (``check_every`` must be a multiple).
+    * ``precision`` — 'highest' for float32-parity with the C oracle,
+      'default' for fastest MXU path.
+    * ``use_pallas`` — route the hot loop through the fused Pallas kernel
+      when running on TPU.
+    """
+
+    erc: float = 1e-6
+    eac: float = 1e-6
+    eaj: float = 1e-6
+    erj: float = 1e-6
+    theta_floor: float = 5.0
+    y0: float = 1000.0
+    max_iters: int = 200_000
+    check_every: int = 1
+    precision: str = "highest"
+    use_pallas: bool = False
+    # Guard the reference's unguarded divide (``updY``, PQP_CPU.c:594).
+    # Denominator (Qd^+ + theta) Y + Fd^+ is strictly positive for Y > 0 in
+    # exact arithmetic (theta_ii >= 5 > 0); the epsilon only clamps float32
+    # underflow and changes no trajectory on well-posed instances.
+    den_eps: float = 0.0
+
+    def __post_init__(self):
+        if self.check_every < 1:
+            raise ValueError("check_every must be >= 1")
+        if self.precision not in ("highest", "default"):
+            raise ValueError("precision must be 'highest' or 'default'")
+
+
+#: Tolerances used by the reference's ``testing/`` benchmark harnesses
+#: (``testing/CPU version/PQP_CPU_test.c:19-24``): inert values so that the
+#: fixed-iteration loop isolates per-iteration kernel cost.
+BENCH_CONFIG = SolverConfig(
+    erc=7.0, eac=1e5, eaj=1e5, erj=7.0, theta_floor=100.0, max_iters=100,
+    precision="default",
+)

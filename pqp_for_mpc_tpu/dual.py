@@ -1,0 +1,86 @@
+"""Primal -> dual transform and the PQP matrix splits.
+
+TPU-native rendition of the reference's problem-build layer
+(``convertToDual`` PQP_CPU.c:489-498, ``computeTheta`` PQP_CPU.c:503-519,
+``computeQdp_theta``/``computeQdn_theta`` PQP_CPU.c:524-537 and the Fd split
+at PQP_CPU.c:703-704).  Everything is a handful of GEMMs and elementwise
+splits — exactly what XLA fuses and tiles onto the MXU; no Pallas needed
+here (the hot loop lives in :mod:`pqp_for_mpc_tpu.solver` / ``ops``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pqp_for_mpc_tpu.problem import DualQP, PrimalQP
+
+
+def _prec(precision: str):
+    return lax.Precision.HIGHEST if precision == "highest" else None
+
+
+@partial(jax.jit, static_argnames=("theta_floor", "precision"))
+def dualize(primal: PrimalQP, theta_floor: float = 5.0,
+            precision: str = "highest") -> DualQP:
+    """Build the non-negative dual QP and its PQP split from the primal.
+
+    * ``Qd = Gp Qp^-1 Gp'``        (computeQd, PQP_CPU.c:440-443)
+    * ``Fd = Gp Qp^-1 Fp + Kp``    (computeFd, PQP_CPU.c:456-460)
+    * ``Md = Fp' Qp^-1 Fp - Mp``   (computeMd, PQP_CPU.c:472-479)
+    * ``theta_i = max(rowsum(max(0,-Qd))_i, theta_floor)``
+      — satisfies the PQP requirement theta_ii >= (Qd^-)_ii
+      (computeTheta + diagonalAdd, PQP_CPU.c:503-519, 235-242; floor 5.0
+      in the root variants, 100.0 in the benchmark harnesses)
+    * ``Qd^{+/-} + theta`` and ``Fd^{+/-}`` elementwise splits.
+
+    Batched ``Fp (M, B)`` / ``Mp (B,)`` yield batched ``Fd (N, B)`` /
+    ``Md (B,)`` with the instance-invariant pieces (Qd, theta, Qd splits)
+    shared — the key structure exploited by the batched solver: one
+    ``(N, N) @ (N, B)`` MXU matmul updates the whole batch.
+    """
+    p = _prec(precision)
+    dot = lambda a, b: jnp.matmul(a, b, precision=p)
+
+    GQi = dot(primal.Gp, primal.Qp_inv)                    # (N, M)
+    Qd = dot(GQi, primal.Gp.T)                             # (N, N)
+
+    batched = primal.Fp.ndim == 2
+    Fp = primal.Fp if batched else primal.Fp[:, None]      # (M, B)
+    Fd = dot(GQi, Fp) + primal.Kp[:, None]                 # (N, B)
+    QiF = dot(primal.Qp_inv, Fp)                           # (M, B)
+    Md = jnp.sum(Fp * QiF, axis=0) - primal.Mp             # (B,)
+    if not batched:
+        Fd = Fd[:, 0]
+        Md = Md[0] if Md.ndim else Md
+
+    Qd_pos = jnp.maximum(Qd, 0.0)
+    Qd_neg = jnp.maximum(-Qd, 0.0)
+    theta = jnp.maximum(jnp.sum(Qd_neg, axis=1), theta_floor)   # (N,)
+    eye_theta = jnp.diag(theta)
+    return DualQP(
+        Qd=Qd,
+        Fd=Fd,
+        Md=Md,
+        theta=theta,
+        Qdp_theta=Qd_pos + eye_theta,
+        Qdn_theta=Qd_neg + eye_theta,
+        Fdp=jnp.maximum(Fd, 0.0),
+        Fdn=jnp.maximum(-Fd, 0.0),
+    )
+
+
+def primal_from_dual(primal: PrimalQP, Y: jax.Array,
+                     precision: str = "highest") -> jax.Array:
+    """Recover the primal iterate ``U = -Qp^-1 (Fp + Gp' Y)``
+    (computeUfromY, PQP_CPU.c:352-360).  ``Y`` may be ``(N,)`` or ``(N, B)``.
+    """
+    p = _prec(precision)
+    Yc = Y if Y.ndim == 2 else Y[:, None]
+    Fp = primal.Fp if primal.Fp.ndim == 2 else primal.Fp[:, None]
+    tmp = jnp.matmul(primal.Gp.T, Yc, precision=p) + Fp
+    U = -jnp.matmul(primal.Qp_inv, tmp, precision=p)
+    return U if Y.ndim == 2 else U[:, 0]

@@ -1,0 +1,230 @@
+"""The PQP multiplicative-update dual solver.
+
+TPU-native re-design of the reference hot loop (``solveQuadraticDual``,
+PQP_CPU.c:694-750):
+
+* the iteration is a ``lax.while_loop`` whose body performs
+  ``check_every`` multiplicative updates followed by one convergence check
+  — the update never reads the check's outputs (PQP_CPU.c:718-724), so the
+  iterate trajectory is identical to the reference's check-every-iteration
+  loop; only the *granularity* of the reported iteration count changes;
+* instances are batched with the batch on the trailing (lane) axis:
+  ``Y (N, B)``, so each update is two ``(N, N) @ (N, B)`` matmuls on the
+  MXU plus a VPU elementwise multiply — the reference's per-element CUDA
+  kernels (``updYCuda`` PQP_GPU_unoptimized.cu:358-376) dissolve into XLA
+  fusions;
+* per-instance convergence masks freeze solved instances
+  (``jnp.where(done, Y, Y_next)``) — the batched analog of the reference's
+  scalar early exit;
+* optionally the inner updates run in a single fused Pallas kernel that
+  keeps Y and both split matrices in VMEM across iterations
+  (:mod:`pqp_for_mpc_tpu.ops.kernels`) — the TPU rendition of the fused
+  CUDA kernel ``matrixMultiplyCuda_computeupdateY2`` (PQP_Fusion.cu:772-846)
+  extended across iterations, which a CUDA grid-sync model cannot do in one
+  launch.
+
+Convergence test (``terminate``, PQP_CPU.c:673-687), reproduced exactly
+including its quirks (slack uses ``erc*Kp`` with no absolute value,
+PQP_CPU.c:338; costs in float32):
+
+1. feasibility: ``Gp U <= Kp + max(erc*Kp, eac)`` elementwise;
+2. weak duality: ``Jp <= -Jd``;
+3. absolute gap:  ``Jp + Jd <= eaj``;
+4. relative gap:  ``(Jp + Jd)/|Jd| <= erj``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pqp_for_mpc_tpu.config import SolverConfig
+from pqp_for_mpc_tpu.problem import DualQP, PrimalQP, _pytree_dataclass
+
+
+@_pytree_dataclass
+class SolveResult:
+    """Per-instance solve outputs (batched shapes shown; single-instance
+    calls squeeze the batch axis away)."""
+
+    U: jax.Array           # (M, B) primal solution
+    Y: jax.Array           # (N, B) dual solution
+    iters: jax.Array       # (B,) int32 — reference-convention count: the
+                           # value of h (starting at 1) at the first passing
+                           # check, i.e. 1 + number of updates applied
+                           # (PQP_CPU.c:714,739-741)
+    converged: jax.Array   # (B,) bool
+    feasible: jax.Array    # (B,) bool — constraint check at exit
+    Jp: jax.Array          # (B,) primal cost at exit
+    Jd: jax.Array          # (B,) dual cost at exit
+
+
+def _as2d(v):
+    return v if v.ndim == 2 else v[:, None]
+
+
+def _mv(A, Y, precision):
+    """Matrix-vector over the batch: A (N,N) or (B,N,N), Y (N,B) -> (N,B)."""
+    if A.ndim == 2:
+        return jnp.matmul(A, Y, precision=precision)
+    return jnp.einsum("bij,jb->ib", A, Y, precision=precision)
+
+
+def pqp_update(dual: DualQP, Y: jax.Array, precision=None,
+               den_eps: float = 0.0) -> jax.Array:
+    """One multiplicative update
+    ``Y <- Y * ((Qd^- + th) Y + Fd^-) / ((Qd^+ + th) Y + Fd^+)``
+    (updateY2 + updY, PQP_CPU.c:603-618, 590-596).  Y: (N, B).
+    """
+    num = _mv(dual.Qdn_theta, Y, precision) + _as2d(dual.Fdn)
+    den = _mv(dual.Qdp_theta, Y, precision) + _as2d(dual.Fdp)
+    if den_eps:
+        den = jnp.maximum(den, den_eps)
+    return (num / den) * Y
+
+
+def costs(primal: PrimalQP, dual: DualQP, Y: jax.Array, U: jax.Array,
+          precision=None):
+    """Batched primal/dual costs (computeCost, PQP_CPU.c:648-666):
+    ``J = 1/2 Z'QZ + F'Z + M/2``.  Returns (Jp, Jd), each (B,)."""
+    QdY = _mv(dual.Qd, Y, precision)
+    Jd = (0.5 * jnp.sum(Y * QdY, axis=0)
+          + jnp.sum(_as2d(dual.Fd) * Y, axis=0) + 0.5 * dual.Md)
+    QpU = jnp.matmul(primal.Qp, U, precision=precision)
+    Jp = (0.5 * jnp.sum(U * QpU, axis=0)
+          + jnp.sum(_as2d(primal.Fp) * U, axis=0) + 0.5 * primal.Mp)
+    return Jp, Jd
+
+
+def recover_U(primal: PrimalQP, Y: jax.Array, precision=None) -> jax.Array:
+    """``U = -Qp^-1 (Fp + Gp' Y)`` (computeUfromY, PQP_CPU.c:352-360)."""
+    tmp = jnp.matmul(primal.Gp.T, Y, precision=precision) + _as2d(primal.Fp)
+    return -jnp.matmul(primal.Qp_inv, tmp, precision=precision)
+
+
+def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
+                precision=None) -> jax.Array:
+    """Elementwise-all feasibility with the reference's slack
+    ``Kp + max(erc*Kp, eac)`` (compare, PQP_CPU.c:334-343 — note: no |Kp|,
+    faithfully kept).  Returns (B,) bool."""
+    GpU = jnp.matmul(primal.Gp, U, precision=precision)
+    slack = primal.Kp + jnp.maximum(erc * primal.Kp, eac)
+    return jnp.all(GpU <= slack[:, None], axis=0)
+
+
+def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
+                    cfg: SolverConfig, precision=None):
+    """The four-part test of ``terminate`` (PQP_CPU.c:673-687), batched.
+
+    Returns (ok, U, feas, Jp, Jd).  Comparisons are written in the
+    reference's negated form (``fail if x > tol``) so NaN propagation
+    matches C semantics (NaN comparisons are false => that test passes).
+    """
+    U = recover_U(primal, Y, precision)
+    feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
+    Jp, Jd = costs(primal, dual, Y, U, precision)
+    gap = Jp + Jd
+    fail = (~feas
+            | (Jp > -Jd)
+            | (gap > cfg.eaj)
+            | (gap / jnp.abs(Jd) > cfg.erj))
+    return ~fail, U, feas, Jp, Jd
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_batched(primal: PrimalQP, dual: DualQP,
+                  Y0: Optional[jax.Array] = None,
+                  cfg: SolverConfig = SolverConfig()) -> SolveResult:
+    """Solve a batch of PQP instances sharing constraint geometry.
+
+    ``primal.Fp`` / ``dual.Fd`` may be ``(M,)``/``(N,)`` (one instance) or
+    ``(M, B)``/``(N, B)`` (a batch over initial states / disturbances —
+    Qd and its splits are shared because they depend only on Gp and Qp,
+    which is what makes the batch a single GEMM).  For batches of fully
+    distinct instances, stack Qd as ``(B, N, N)`` (einsum path) or use
+    :func:`jax.vmap` over :func:`solve`.
+
+    ``Y0`` enables warm starting (receding-horizon MPC); defaults to the
+    reference's cold start ``Y = y0 * ones`` (PQP_CPU.c:710).
+    """
+    prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
+    N = dual.n_con
+    B = _as2d(dual.Fd).shape[1] if dual.Fd.ndim == 2 else 1
+    if dual.Qd.ndim == 3:
+        B = dual.Qd.shape[0]
+    if Y0 is None:
+        Y0 = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
+    else:
+        Y0 = _as2d(Y0)
+        B = Y0.shape[1]
+
+    k = cfg.check_every
+
+    use_pallas = cfg.use_pallas and dual.Qd.ndim == 2
+    if use_pallas:
+        from pqp_for_mpc_tpu.ops import kernels as _kernels
+
+    def run_updates(Y, done):
+        if use_pallas:
+            Ynew = _kernels.fused_pqp_iterations(
+                dual.Qdn_theta, dual.Qdp_theta,
+                jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
+                jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
+                Y, num_iters=k)
+            return jnp.where(done[None, :], Y, Ynew)
+
+        def body(_, Yc):
+            Yn = pqp_update(dual, Yc, prec, cfg.den_eps)
+            return jnp.where(done[None, :], Yc, Yn)
+
+        return lax.fori_loop(0, k, body, Y)
+
+    def cond(state):
+        Y, done, h, iters = state
+        return jnp.logical_and(~jnp.all(done), h <= cfg.max_iters)
+
+    def body(state):
+        Y, done, h, iters = state
+        ok, _, _, _, _ = check_terminate(primal, dual, Y, cfg, prec)
+        newly = ok & ~done
+        iters = jnp.where(newly, h, iters)
+        done = done | ok
+        Y = run_updates(Y, done)
+        return (Y, done, h + jnp.int32(k), iters)
+
+    done0 = jnp.zeros((B,), dtype=bool)
+    iters0 = jnp.zeros((B,), dtype=jnp.int32)
+    Y, done, h, iters = lax.while_loop(
+        cond, body, (Y0, done0, jnp.int32(1), iters0))
+
+    # Final check so exit diagnostics reflect the returned iterate even for
+    # instances that hit max_iters.
+    ok, U, feas, Jp, Jd = check_terminate(primal, dual, Y, cfg, prec)
+    newly = ok & ~done
+    iters = jnp.where(newly, h, iters)
+    done = done | ok
+    iters = jnp.where(done, iters, h)
+    return SolveResult(U=U, Y=Y, iters=iters, converged=done,
+                       feasible=feas, Jp=Jp, Jd=Jd)
+
+
+def solve(primal: PrimalQP, dual: Optional[DualQP] = None,
+          Y0: Optional[jax.Array] = None,
+          cfg: SolverConfig = SolverConfig()) -> SolveResult:
+    """Single-instance convenience wrapper: dualizes if needed, solves,
+    and squeezes the batch axis (mirrors main(), PQP_CPU.c:994-999)."""
+    if dual is None:
+        from pqp_for_mpc_tpu.dual import dualize
+        dual = dualize(primal, theta_floor=cfg.theta_floor,
+                       precision=cfg.precision)
+    res = solve_batched(primal, dual, Y0=Y0, cfg=cfg)
+    squeeze = lambda a: a[..., 0] if a.ndim >= 1 and a.shape[-1] == 1 else a
+    return SolveResult(
+        U=res.U[:, 0], Y=res.Y[:, 0], iters=squeeze(res.iters),
+        converged=squeeze(res.converged), feasible=squeeze(res.feasible),
+        Jp=squeeze(res.Jp), Jd=squeeze(res.Jd))
