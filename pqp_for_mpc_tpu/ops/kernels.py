@@ -35,7 +35,9 @@ _SUBLANE = 8
 _LANE = 128
 
 #: Conservative per-core VMEM budget for kernel operands (bytes).
-VMEM_BUDGET = 100 * 1024 * 1024  # v5e has ~128 MiB VMEM; leave headroom
+#: ~16 MiB VMEM/core on current TPUs; leave headroom for Mosaic's own
+#: buffers and double-buffered panel pipelining.
+VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,7 +141,7 @@ def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_pad, b_pad), jnp.float32),
         input_output_aliases={4: 0},
         cost_estimate=pl.CostEstimate(
-            flops=4.0 * n_pad * n_pad * b_pad * num_iters,
+            flops=4 * n_pad * n_pad * b_pad * num_iters,
             bytes_accessed=(2 * n_pad * n_pad + 4 * n_pad * b_pad) * 4,
             transcendentals=0,
         ),
