@@ -52,6 +52,15 @@ class SolverConfig:
     check_every: int = 1
     precision: str = "highest"
     use_pallas: bool = False
+    # The reference's first gap test (``Jp > -Jd`` fails, PQP_CPU.c:682)
+    # demands a numerically NON-POSITIVE duality gap; in exact arithmetic
+    # the gap is >= 0, so passing relies on float32 rounding landing at or
+    # below zero.  On some instances it settles one ulp above and the
+    # reference would iterate forever.  True (default) keeps the
+    # reference's semantics for conformance; False drops that test and
+    # terminates on the two-sided gap tolerances alone (recommended for
+    # production).
+    strict_weak_duality: bool = True
     # Guard the reference's unguarded divide (``updY``, PQP_CPU.c:594).
     # Denominator (Qd^+ + theta) Y + Fd^+ is strictly positive for Y > 0 in
     # exact arithmetic (theta_ii >= 5 > 0); the epsilon only clamps float32

@@ -1,0 +1,15 @@
+from pqp_for_mpc_tpu.models.plants import (  # noqa: F401
+    ZOO,
+    LinearPlant,
+    double_integrator,
+    mass_spring_damper,
+    random_stable,
+    thermal_rc,
+)
+from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401
+    MPCController,
+    MPCSpec,
+    condense,
+    input_constraints,
+    prediction_matrices,
+)

@@ -1,0 +1,198 @@
+"""Sharded PQP solvers: data-parallel instance batches and model-parallel
+(row-sharded dual Hessian) iteration.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); these are the new
+scaling capabilities:
+
+* :func:`shard_batch` + :func:`pqp_for_mpc_tpu.solver.solve_batched` —
+  SPMD data parallelism: the batch (lane) axis of ``Y/Fd/Fp/Mp/Md`` is
+  sharded over the ``data`` mesh axis, the small shared matrices are
+  replicated, and XLA/GSPMD inserts the only needed collective (the
+  ``all(done)`` reduction in the while-loop condition).  This is the path
+  for 65k-scenario batches over a pod slice (BASELINE config 5).
+
+* :func:`solve_row_sharded` — explicit shard_map tensor parallelism for
+  large dual dimension N: each device owns a row block of
+  ``Qd^{+/-}+theta`` (N/mp, N) and the matching block of Y; each iteration
+  all-gathers Y along ``model`` (the TP matvec pattern), computes its row
+  block of both matvecs on the MXU, and applies the elementwise update to
+  its rows.  Convergence reductions (Gp'Y, feasibility violations, dual
+  cost) are ``psum`` partial sums.  U is recovered replicated (M is small).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pqp_for_mpc_tpu.config import SolverConfig
+from pqp_for_mpc_tpu.problem import DualQP, PrimalQP
+from pqp_for_mpc_tpu.solver import SolveResult, _as2d
+
+
+def shard_batch(primal: PrimalQP, dual: DualQP, mesh: Mesh,
+                axis: str = "data"):
+    """Place a batched (primal, dual) pair on the mesh: batch axis sharded,
+    instance-invariant matrices replicated.  Returns new pytrees; feed them
+    to :func:`pqp_for_mpc_tpu.solver.solve_batched` and GSPMD handles the
+    rest."""
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, axis))
+    vec = NamedSharding(mesh, P(axis))
+
+    def place(x, sh):
+        return jax.device_put(x, sh)
+
+    def place_batchlike(x):
+        if x.ndim == 2:
+            return place(x, col)
+        if x.ndim == 1:
+            return place(x, vec)
+        return place(x, rep)
+
+    primal = PrimalQP(
+        Qp=place(primal.Qp, rep), Qp_inv=place(primal.Qp_inv, rep),
+        Fp=place_batchlike(primal.Fp) if primal.Fp.ndim == 2 else place(primal.Fp, rep),
+        Mp=place_batchlike(primal.Mp) if primal.Mp.ndim == 1 else place(primal.Mp, rep),
+        Gp=place(primal.Gp, rep), Kp=place(primal.Kp, rep))
+    dual = DualQP(
+        Qd=place(dual.Qd, rep), theta=place(dual.theta, rep),
+        Qdp_theta=place(dual.Qdp_theta, rep),
+        Qdn_theta=place(dual.Qdn_theta, rep),
+        Fd=place_batchlike(dual.Fd) if dual.Fd.ndim == 2 else place(dual.Fd, rep),
+        Md=place_batchlike(dual.Md) if dual.Md.ndim == 1 else place(dual.Md, rep),
+        Fdp=place_batchlike(dual.Fdp) if dual.Fdp.ndim == 2 else place(dual.Fdp, rep),
+        Fdn=place_batchlike(dual.Fdn) if dual.Fdn.ndim == 2 else place(dual.Fdn, rep))
+    return primal, dual
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis", "model_axis"))
+def solve_row_sharded(primal: PrimalQP, dual: DualQP,
+                      Y0: Optional[jax.Array] = None,
+                      cfg: SolverConfig = SolverConfig(),
+                      *, mesh: Mesh,
+                      data_axis: str = "data",
+                      model_axis: str = "model") -> SolveResult:
+    """Tensor-parallel PQP solve with the dual dimension N row-sharded over
+    ``model_axis`` and the batch sharded over ``data_axis``.
+
+    Requires N divisible by mesh.shape[model_axis] and B divisible by
+    mesh.shape[data_axis] (pad the batch; pad N via the caller if needed —
+    padded rows with identity diagonal and Y=1 are fixed points, see
+    ops.kernels).
+    """
+    prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
+    N = dual.n_con
+    mp = mesh.shape[model_axis]
+    dp = mesh.shape[data_axis]
+    Fd2 = _as2d(dual.Fd)
+    B = Fd2.shape[1]
+    if Y0 is None:
+        Y0 = jnp.full((N, B), cfg.y0, jnp.float32)
+    if N % mp or B % dp:
+        raise ValueError(f"N={N} % model={mp} or B={B} % data={dp} != 0")
+
+    Fp2 = _as2d(primal.Fp)
+    if Fp2.shape[1] == 1 and B > 1:
+        Fp2 = jnp.broadcast_to(Fp2, (Fp2.shape[0], B))
+    Mp1d = jnp.broadcast_to(jnp.atleast_1d(primal.Mp), (B,))
+    Md1d = jnp.broadcast_to(jnp.atleast_1d(dual.Md), (B,))
+    if Fd2.shape[1] == 1 and B > 1:
+        Fd2 = jnp.broadcast_to(Fd2, (N, B))
+    Fdp2 = jnp.broadcast_to(_as2d(dual.Fdp), (N, B))
+    Fdn2 = jnp.broadcast_to(_as2d(dual.Fdn), (N, B))
+
+    k = cfg.check_every
+    row = P(model_axis, None)          # row blocks of N x * matrices
+    panel = P(model_axis, data_axis)   # (N, B) panels
+    colp = P(None, data_axis)          # (M, B) panels
+    bvec = P(data_axis)                # (B,) vectors
+    repl = P()
+
+    def inner(Qd_b, Qdn_b, Qdp_b, Fd_b, Fdp_b, Fdn_b, Kp_b, Gp_b,
+              Qp, Qp_inv, Fp_l, Mp_l, Md_l, Y0_b):
+        Bl = Y0_b.shape[1]
+
+        def gather(Yb):
+            return lax.all_gather(Yb, model_axis, axis=0, tiled=True)
+
+        slack_b = Kp_b + jnp.maximum(cfg.erc * Kp_b, cfg.eac)
+
+        def check(Yb):
+            GtY = lax.psum(
+                jnp.matmul(Gp_b.T, Yb, precision=prec), model_axis)   # (M,Bl)
+            U = -jnp.matmul(Qp_inv, GtY + Fp_l, precision=prec)
+            GpU_b = jnp.matmul(Gp_b, U, precision=prec)
+            nviol = lax.psum(
+                jnp.sum((GpU_b > slack_b[:, None]).astype(jnp.int32), axis=0),
+                model_axis)
+            feas = nviol == 0
+            Yf = gather(Yb)
+            QdY_b = jnp.matmul(Qd_b, Yf, precision=prec)
+            Jd = lax.psum(0.5 * jnp.sum(Yb * QdY_b, axis=0)
+                          + jnp.sum(Fd_b * Yb, axis=0), model_axis) \
+                + 0.5 * Md_l
+            Jp = (0.5 * jnp.sum(U * jnp.matmul(Qp, U, precision=prec), axis=0)
+                  + jnp.sum(Fp_l * U, axis=0) + 0.5 * Mp_l)
+            gap = Jp + Jd
+            fail = (~feas | (gap > cfg.eaj)
+                    | (gap / jnp.abs(Jd) > cfg.erj))
+            if cfg.strict_weak_duality:
+                fail = fail | (Jp > -Jd)
+            return ~fail, U, feas, Jp, Jd
+
+        def run_updates(Yb, done):
+            def body(_, Yl):
+                Yf = gather(Yl)
+                num = jnp.matmul(Qdn_b, Yf, precision=prec) + Fdn_b
+                den = jnp.matmul(Qdp_b, Yf, precision=prec) + Fdp_b
+                Yn = (num / den) * Yl
+                return jnp.where(done[None, :], Yl, Yn)
+            return lax.fori_loop(0, k, body, Yb)
+
+        def global_unsolved(done):
+            # count over both mesh axes so every device agrees on the trip
+            return lax.psum(lax.psum(jnp.sum(~done), model_axis), data_axis)
+
+        def cond(state):
+            Yb, done, h, iters, unsolved = state
+            return jnp.logical_and(unsolved > 0, h <= cfg.max_iters)
+
+        def body(state):
+            Yb, done, h, iters, _ = state
+            ok, _, _, _, _ = check(Yb)
+            newly = ok & ~done
+            iters = jnp.where(newly, h, iters)
+            done = done | ok
+            Yb = run_updates(Yb, done)
+            return (Yb, done, h + jnp.int32(k), iters,
+                    global_unsolved(done))
+
+        done0 = jnp.zeros((Bl,), bool)
+        iters0 = jnp.zeros((Bl,), jnp.int32)
+        state = (Y0_b, done0, jnp.int32(1), iters0, jnp.int32(1))
+        Yb, done, h, iters, _ = lax.while_loop(cond, body, state)
+
+        ok, U, feas, Jp, Jd = check(Yb)
+        newly = ok & ~done
+        iters = jnp.where(newly, h, iters)
+        done = done | ok
+        iters = jnp.where(done, iters, h)
+        return SolveResult(U=U, Y=Yb, iters=iters, converged=done,
+                           feasible=feas, Jp=Jp, Jd=Jd)
+
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(row, row, row, panel, panel, panel,
+                  P(model_axis), row, repl, repl, colp, bvec, bvec, panel),
+        out_specs=SolveResult(U=colp, Y=panel, iters=bvec, converged=bvec,
+                              feasible=bvec, Jp=bvec, Jd=bvec),
+        check_vma=False)
+    return fn(dual.Qd, dual.Qdn_theta, dual.Qdp_theta, Fd2, Fdp2, Fdn2,
+              primal.Kp, primal.Gp, primal.Qp, primal.Qp_inv,
+              Fp2, Mp1d, Md1d, Y0)

@@ -130,9 +130,10 @@ def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
     Jp, Jd = costs(primal, dual, Y, U, precision)
     gap = Jp + Jd
     fail = (~feas
-            | (Jp > -Jd)
             | (gap > cfg.eaj)
             | (gap / jnp.abs(Jd) > cfg.erj))
+    if cfg.strict_weak_duality:
+        fail = fail | (Jp > -Jd)
     return ~fail, U, feas, Jp, Jd
 
 

@@ -1,0 +1,117 @@
+"""Tests for the model zoo + condensation + receding-horizon loop.
+
+Validation strategy: the condensed QP's cost must equal the explicitly
+rolled-out tracking cost for arbitrary U (the reference has no such check —
+it trusts its text files), and the closed loop must regulate the plant.
+"""
+
+import numpy as np
+import pytest
+
+
+def _spec(plant, H=5, seed=0):
+    from pqp_for_mpc_tpu.models import MPCSpec
+    rng = np.random.default_rng(seed)
+    ny, nu = plant.n_output, plant.n_input
+    return MPCSpec(
+        plant=plant, horizon=H,
+        Qy=np.eye(ny, dtype=np.float32),
+        R=0.1 * np.eye(nu, dtype=np.float32),
+        r=rng.uniform(-1, 1, ny).astype(np.float32),
+        u_min=-2.0 * np.ones(nu, np.float32),
+        u_max=2.0 * np.ones(nu, np.float32),
+        du_max=1.0 * np.ones(nu, np.float32),
+    )
+
+
+def _rollout_cost(spec, x0, D_seq, U):
+    """Explicit simulation of J = sum (y-r)'Qy(y-r) + u'Ru."""
+    plant, H = spec.plant, spec.horizon
+    nu, nd = plant.n_input, plant.n_dist
+    x = x0.copy()
+    J = 0.0
+    for k in range(H):
+        u = U[k * nu:(k + 1) * nu]
+        d = D_seq[k * nd:(k + 1) * nd]
+        x = plant.A @ x + plant.B @ u + plant.E @ d
+        y = plant.C @ x
+        e = y - spec.r
+        J += float(e @ spec.Qy @ e + u @ spec.R @ u)
+    return J
+
+
+@pytest.mark.parametrize("plant_name", ["double_integrator",
+                                        "mass_spring_damper", "thermal_rc"])
+def test_condensed_cost_matches_rollout(plant_name):
+    from pqp_for_mpc_tpu.models import ZOO, condense
+    import jax.numpy as jnp
+
+    plant = ZOO[plant_name]() if plant_name != "thermal_rc" else \
+        ZOO[plant_name](n_rooms=8, n_heaters=3)
+    spec = _spec(plant, H=4)
+    data = condense(spec)
+
+    rng = np.random.default_rng(1)
+    x0 = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
+    D = rng.uniform(-1, 1, spec.horizon * plant.n_dist).astype(np.float32)
+    U = rng.uniform(-1, 1, spec.horizon * plant.n_input).astype(np.float32)
+
+    primal = data.assemble(x=jnp.asarray(x0), D=jnp.asarray(D),
+                           Qp=jnp.linalg.inv(data.Qp_inv))
+    # QP cost 1/2 U'QpU + Fp'U + 1/2 Mp == rolled-out tracking cost
+    Qp = np.linalg.inv(np.asarray(data.Qp_inv))
+    J_qp = (0.5 * U @ Qp @ U + np.asarray(primal.Fp) @ U
+            + 0.5 * float(primal.Mp))
+    J_sim = _rollout_cost(spec, x0, D, U)
+    assert abs(J_qp - J_sim) <= 1e-3 * max(1.0, abs(J_sim))
+
+
+def test_constraint_rows_structure():
+    from pqp_for_mpc_tpu.models import ZOO, input_constraints
+    plant = ZOO["double_integrator"]()
+    spec = _spec(plant, H=6)
+    Gp, Kp = input_constraints(spec)
+    M = 6 * plant.n_input
+    assert Gp.shape == (4 * M, M)  # reference's N = 4*pHorizon*nInput
+    assert Kp.shape == (4 * M,)
+    # a feasible point: U = 0 satisfies all rows (0 <= Kp)
+    assert np.all(np.asarray(Kp) >= 0)
+
+
+def test_mpc_solves_and_is_feasible():
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models import ZOO, MPCController
+    plant = ZOO["double_integrator"]()
+    spec = _spec(plant, H=5)
+    ctrl = MPCController(spec, cfg=SolverConfig(max_iters=50_000,
+                                                check_every=8))
+    x0 = np.array([1.0, 0.0], np.float32)
+    u0, res = ctrl.step(x0)
+    assert bool(np.asarray(res.converged).all())
+    u = np.asarray(res.U).ravel()
+    assert np.all(u <= 2.0 + 1e-3) and np.all(u >= -2.0 - 1e-3)
+    du = np.diff(np.concatenate([[0.0], u]))
+    assert np.all(np.abs(du) <= 1.0 + 1e-3)
+
+
+def test_receding_horizon_regulates_and_warm_start_helps():
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    spec = MPCSpec(
+        plant=plant, horizon=8,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    cfg = SolverConfig(max_iters=50_000, check_every=8)
+
+    warm = MPCController(spec, cfg=cfg, warm_start=True)
+    out = warm.rollout(np.array([2.0, 0.0], np.float32), steps=30)
+    # position regulated toward 0
+    assert abs(out["x"][-1][0]) < 0.3
+    # warm starting reduces iterations after the first step
+    cold = MPCController(spec, cfg=cfg, warm_start=False)
+    out_c = cold.rollout(np.array([2.0, 0.0], np.float32), steps=5)
+    assert np.mean(out["iters"][1:5]) <= np.mean(out_c["iters"][1:5])

@@ -1,0 +1,97 @@
+"""Multi-device tests on the virtual 8-CPU mesh.
+
+Validates that (a) data-parallel batch sharding produces identical results
+to the single-device solver, and (b) the shard_map tensor-parallel
+(row-sharded Qd) solver agrees with the replicated one — the collective
+pattern that scales large-N duals across chips (new capability; the
+reference is single-GPU, SURVEY.md §2.3).
+"""
+
+import numpy as np
+import pytest
+
+
+def _batched_problem(B=16, seed=0, N=32, M=16):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import dualize
+    from pqp_for_mpc_tpu.problem import PrimalQP
+    rng = np.random.default_rng(seed)
+    L = rng.standard_normal((M, M)).astype(np.float32)
+    Qp = L @ L.T + M * np.eye(M, dtype=np.float32)
+    Qp_inv = np.linalg.inv(Qp).astype(np.float32)
+    Gp = rng.integers(-1, 2, (N, M)).astype(np.float32)
+    Kp = rng.uniform(1.0, 10.0, N).astype(np.float32)
+    Fp = rng.standard_normal((M, B)).astype(np.float32) * 5
+    Mp = rng.standard_normal(B).astype(np.float32)
+    primal = PrimalQP(Qp=jnp.asarray(Qp), Qp_inv=jnp.asarray(Qp_inv),
+                      Fp=jnp.asarray(Fp), Mp=jnp.asarray(Mp),
+                      Gp=jnp.asarray(Gp), Kp=jnp.asarray(Kp))
+    return primal, dualize(primal)
+
+
+def test_mesh_creation():
+    import jax
+    from pqp_for_mpc_tpu.parallel import make_mesh
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_matches_single_device():
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched
+    from pqp_for_mpc_tpu.parallel import make_mesh, shard_batch
+
+    primal, dual = _batched_problem(B=16)
+    cfg = SolverConfig(max_iters=20_000, check_every=4)
+    ref = solve_batched(primal, dual, cfg=cfg)
+
+    mesh = make_mesh(model=1)  # 8-way data parallel
+    p_s, d_s = shard_batch(primal, dual, mesh)
+    res = solve_batched(p_s, d_s, cfg=cfg)
+
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_row_sharded_matches_replicated():
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched
+    from pqp_for_mpc_tpu.parallel import make_mesh, solve_row_sharded
+
+    primal, dual = _batched_problem(B=8, N=32, M=16)
+    # Slightly relaxed absolute/relative gap: the psum partial-sum order
+    # differs from the replicated reduction, and a 1e-6 absolute gap on
+    # O(100) float32 costs is below one ulp (pure cancellation luck).
+    cfg = SolverConfig(max_iters=20_000, check_every=4, eaj=1e-3, erj=1e-5,
+                       strict_weak_duality=False)
+    ref = solve_batched(primal, dual, cfg=cfg)
+
+    mesh = make_mesh(data=2, model=4)  # N=32 rows over 4 devices
+    res = solve_row_sharded(primal, dual, cfg=cfg, mesh=mesh)
+
+    assert bool(np.asarray(res.converged).all())
+    assert bool(np.asarray(ref.converged).all())
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=2e-4, atol=2e-4)
+    # reduction-order differences may shift the passing check by a few
+    # cadence steps
+    assert np.max(np.abs(np.asarray(res.iters, np.int64)
+                         - np.asarray(ref.iters, np.int64))) <= 64
+
+
+def test_row_sharded_large_n():
+    """Wide dual (N=128) split 8 ways, batch 4 — the TP configuration for
+    long-horizon condensed problems."""
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched
+    from pqp_for_mpc_tpu.parallel import make_mesh, solve_row_sharded
+
+    primal, dual = _batched_problem(B=4, N=128, M=32, seed=3)
+    cfg = SolverConfig(max_iters=50_000, check_every=8, eaj=1e-3, erj=1e-5,
+                       strict_weak_duality=False)
+    mesh = make_mesh(data=1, model=8)
+    res = solve_row_sharded(primal, dual, cfg=cfg, mesh=mesh)
+    ref = solve_batched(primal, dual, cfg=cfg)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=5e-4, atol=5e-4)
