@@ -50,6 +50,20 @@ class SolverConfig:
     y0: float = 1000.0
     max_iters: int = 200_000
     check_every: int = 1
+    # Acceleration cadence: every ``accel_every`` multiplicative updates,
+    # take one projected steepest-descent step with exact line search
+    # (direction p_i = -grad_i masked to the feasible cone, step
+    # alpha = |p|^2 / p'Qd p, then Y <- max(0, Y + alpha p)), accepted
+    # per-instance only when it does not increase the dual objective.
+    # This is the *correct* form of the reference's acceleration branch
+    # (computeph/computealphaY/updateY1, PQP_CPU.c:545-630 — dead code in
+    # the root variants and defective where live: its direction
+    # ``-2 Qd Y`` drops the Fd term, PQP_CPU.c:621-626, and the step is
+    # damped by 10 with no projection, PQP_GPU_optimized_coarsened.cu:825).
+    # 0 disables (reference-parity default).  Cuts the slow multiplicative
+    # tail by orders of magnitude on active-set-heavy QPs and lets
+    # multipliers leave the absorbing state Y_i = 0.
+    accel_every: int = 0
     precision: str = "highest"
     use_pallas: bool = False
     # The reference's first gap test (``Jp > -Jd`` fails, PQP_CPU.c:682)
@@ -63,16 +77,43 @@ class SolverConfig:
     strict_weak_duality: bool = True
     # Guard the reference's unguarded divide (``updY``, PQP_CPU.c:594).
     # Denominator (Qd^+ + theta) Y + Fd^+ is strictly positive for Y > 0 in
-    # exact arithmetic (theta_ii >= 5 > 0); the epsilon only clamps float32
-    # underflow and changes no trajectory on well-posed instances.
-    den_eps: float = 0.0
+    # exact arithmetic (theta_ii >= 5 > 0), but float32 underflow can drive
+    # it to exactly 0 when Y does (e.g. a warm start with tiny multipliers
+    # and Fd^+_i = 0), and then 0/0 -> NaN poisons the whole iterate.  The
+    # default clamp is far below any representable well-posed denominator,
+    # so it changes no trajectory; it only turns 0/0 into 0 (and Y_i = 0
+    # stays 0 either way since the update multiplies by Y_i).
+    den_eps: float = 1e-30
 
     def __post_init__(self):
         if self.check_every < 1:
             raise ValueError("check_every must be >= 1")
+        if self.accel_every < 0:
+            raise ValueError("accel_every must be >= 0")
+        if self.accel_every > 0 and self.check_every % self.accel_every:
+            raise ValueError(
+                "check_every must be a multiple of accel_every so each "
+                "while-loop body runs a whole number of accel chunks")
         if self.precision not in ("highest", "default"):
             raise ValueError("precision must be 'highest' or 'default'")
 
+
+#: Recommended configuration for receding-horizon MPC (float32):
+#:
+#: * tolerances loosened to what float32 can actually certify at O(1)
+#:   constraint scales — the reference's 1e-6 absolute feasibility slack
+#:   is unreachable when Kp ~ 1 (its example has Kp = 20 and costs ~1e5,
+#:   so 1e-6 *relative* scales land above float32 resolution there);
+#: * ``strict_weak_duality=False`` — the reference's ``Jp > -Jd`` test
+#:   demands the numerical gap land at or below zero; on many MPC QPs it
+#:   settles a few ulps above (observed: +1.4e-5 on a gap of rel. 4e-7)
+#:   and the loop never exits;
+#: * small cold start + acceleration (see SolverConfig docstrings).
+MPC_CONFIG = SolverConfig(
+    erc=1e-4, eac=1e-4, eaj=1e-4, erj=1e-5,
+    y0=0.01, check_every=8, accel_every=4,
+    strict_weak_duality=False, max_iters=50_000,
+)
 
 #: Tolerances used by the reference's ``testing/`` benchmark harnesses
 #: (``testing/CPU version/PQP_CPU_test.c:19-24``): inert values so that the

@@ -183,11 +183,31 @@ class MPCController:
     optimal initialization and cut iterations by ~an order of magnitude.
     """
 
-    def __init__(self, spec: MPCSpec, cfg: SolverConfig = SolverConfig(),
-                 warm_start: bool = True):
+    def __init__(self, spec: MPCSpec, cfg: Optional[SolverConfig] = None,
+                 warm_start: bool = True, cold_start_y0: float = 0.01,
+                 warm_start_floor: float = 1e-6):
+        from pqp_for_mpc_tpu.config import MPC_CONFIG
+        if cfg is None:
+            cfg = MPC_CONFIG
         self.spec = spec
-        self.cfg = cfg
         self.warm_start = warm_start
+        # Scale-aware cold start.  The reference hard-codes Y0 = 1000
+        # (PQP_CPU.c:710), tuned for its example/ instance whose optimal
+        # multipliers are O(1e4).  The multiplicative update *grows* Y fast
+        # (ratio up to Fd^-/Fd^+) but *decays* it slowly (ratio bounded
+        # below by theta.Y/(theta.Y + Fd^+)), so starting far above Y* is
+        # catastrophically slow: on a double-integrator MPC QP, Y0=1000
+        # needs ~51k iterations where Y0=0.01 needs 9 — same U*.  Even on
+        # the reference's own example/, Y0=1 converges in 9 iterations vs
+        # its 313.  MPC multipliers are modest, so start small.
+        self.cfg = dataclasses.replace(cfg, y0=cold_start_y0)
+        # Zero is an *absorbing state* of the multiplicative update
+        # (Y_i <- Y_i * ratio), so a warm start whose inactive multipliers
+        # underflowed to exactly 0 can never re-activate a constraint when
+        # the active set shifts between consecutive QPs — the solve then
+        # stalls on an infeasible U.  Floor the carried multipliers at a
+        # tiny positive value; growth back to O(1) is geometric and fast.
+        self.warm_start_floor = warm_start_floor
         self.data = condense(spec)
         self.Qp = jnp.linalg.inv(self.data.Qp_inv)
         self._Y = None
@@ -210,7 +230,13 @@ class MPCController:
         primal = data.assemble(x=jnp.asarray(x, jnp.float32), D=D, Qp=self.Qp)
         dual = dualize(primal, theta_floor=self.cfg.theta_floor,
                        precision=self.cfg.precision)
-        Y0 = self._Y if (self.warm_start and self._Y is not None) else None
+        Y0 = None
+        if self.warm_start and self._Y is not None:
+            B = primal.Fp.shape[1] if primal.Fp.ndim == 2 else 1
+            Yw = self._Y
+            if Yw.shape[1] == B or Yw.shape[1] == 1:
+                Y0 = jnp.maximum(Yw, self.warm_start_floor)
+            # else: batch size changed since last step — cold start
         res = solve_batched(primal, dual, Y0=Y0, cfg=self.cfg)
         if self.warm_start:
             self._Y = res.Y

@@ -88,6 +88,40 @@ def pqp_update(dual: DualQP, Y: jax.Array, precision=None,
     return (num / den) * Y
 
 
+def accel_step(dual: DualQP, Y: jax.Array, done: jax.Array,
+               precision=None) -> jax.Array:
+    """Projected steepest-descent step with exact line search on the dual
+    objective ``f(Y) = 1/2 Y'Qd Y + Fd'Y`` over ``Y >= 0``.
+
+    This is the corrected form of the reference's acceleration branch
+    (computeph/computealphaY/updateY1, PQP_CPU.c:545-630): direction is the
+    negative gradient masked to the feasible cone (the reference's computeph
+    drops the Fd term — ``ph = -2 Qd Y``, PQP_CPU.c:621-626), the step is
+    the exact Cayley quotient ``|p|^2 / p'Qd p`` (the reference damps it by
+    10, PQP_GPU_optimized_coarsened.cu:825), the result is projected back to
+    the nonnegative orthant, and the step is accepted per-instance only when
+    it does not increase f — so the convergence guarantee of the
+    multiplicative update is preserved.
+
+    Unlike the multiplicative update, this step can move a multiplier OFF
+    the absorbing state ``Y_i = 0`` (when grad_i < 0), which matters for
+    warm-started receding-horizon solves whose active set shifts.
+    """
+    Fd = _as2d(dual.Fd)
+    grad = _mv(dual.Qd, Y, precision) + Fd                      # (N, B)
+    p = jnp.where((Y > 0.0) | (grad < 0.0), -grad, 0.0)
+    pQp = jnp.sum(p * _mv(dual.Qd, p, precision), axis=0)       # (B,)
+    alpha = jnp.where(pQp > 0,
+                      jnp.sum(p * p, axis=0) / jnp.maximum(pQp, 1e-30), 0.0)
+    Yn = jnp.maximum(Y + alpha[None, :] * p, 0.0)
+    # f(Y) reuses grad: Qd Y = grad - Fd  =>  f = 1/2 sum Y*(grad + Fd)
+    fY = 0.5 * jnp.sum(Y * (grad + Fd), axis=0)
+    fYn = (0.5 * jnp.sum(Yn * _mv(dual.Qd, Yn, precision), axis=0)
+           + jnp.sum(Fd * Yn, axis=0))
+    keep = (fYn <= fY) & ~done
+    return jnp.where(keep[None, :], Yn, Y)
+
+
 def costs(primal: PrimalQP, dual: DualQP, Y: jax.Array, U: jax.Array,
           precision=None):
     """Batched primal/dual costs (computeCost, PQP_CPU.c:648-666):
@@ -162,7 +196,14 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
         Y0 = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
     else:
         Y0 = _as2d(Y0)
-        B = Y0.shape[1]
+        if Y0.shape[1] == 1 and B > 1:
+            # a single warm start seeds the whole batch
+            Y0 = jnp.broadcast_to(Y0, (N, B))
+        elif B == 1 and Y0.shape[1] > 1:
+            B = Y0.shape[1]
+        elif Y0.shape[1] != B:
+            raise ValueError(
+                f"warm start batch {Y0.shape[1]} != instance batch {B}")
 
     k = cfg.check_every
 
@@ -170,20 +211,31 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
     if use_pallas:
         from pqp_for_mpc_tpu.ops import kernels as _kernels
 
-    def run_updates(Y, done):
+    def run_mult_updates(Y, done, n):
         if use_pallas:
             Ynew = _kernels.fused_pqp_iterations(
                 dual.Qdn_theta, dual.Qdp_theta,
                 jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
                 jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
-                Y, num_iters=k)
+                Y, num_iters=n)
             return jnp.where(done[None, :], Y, Ynew)
 
         def body(_, Yc):
             Yn = pqp_update(dual, Yc, prec, cfg.den_eps)
             return jnp.where(done[None, :], Yc, Yn)
 
-        return lax.fori_loop(0, k, body, Y)
+        return lax.fori_loop(0, n, body, Y)
+
+    def run_updates(Y, done):
+        if not cfg.accel_every:
+            return run_mult_updates(Y, done, k)
+        # chunks of accel_every multiplicative updates, each followed by
+        # one safeguarded projected-gradient step (check_every divisible
+        # by accel_every, enforced in SolverConfig).
+        def chunk(_, Yc):
+            Yc = run_mult_updates(Yc, done, cfg.accel_every)
+            return accel_step(dual, Yc, done, prec)
+        return lax.fori_loop(0, k // cfg.accel_every, chunk, Y)
 
     def cond(state):
         Y, done, h, iters = state

@@ -82,6 +82,36 @@ def test_check_cadence_invariance(example_data):
     assert int(r1.iters) <= int(r8.iters) <= int(r1.iters) + 8
 
 
+def test_acceleration_matches_golden_much_faster(example_data):
+    """The safeguarded projected-gradient acceleration reaches the same U*
+    in ~9 iterations where the plain multiplicative update needs 313."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig, dualize, solve
+
+    primal = example_data.assemble(Qp=jnp.linalg.inv(example_data.Qp_inv))
+    dual = dualize(primal)
+    res = solve(primal, dual,
+                cfg=SolverConfig(max_iters=5000, check_every=4,
+                                 accel_every=4))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.U), GOLDEN_U, atol=1e-2)
+    assert int(res.iters) <= 40
+
+
+def test_small_cold_start_matches_golden(example_data):
+    """Y0 = 1 converges to the same solution far faster than the
+    reference's Y0 = 1000 (multiplicative growth is fast, decay is slow)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig, dualize, solve
+
+    primal = example_data.assemble(Qp=jnp.linalg.inv(example_data.Qp_inv))
+    dual = dualize(primal)
+    res = solve(primal, dual, cfg=SolverConfig(max_iters=5000, y0=1.0))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.U), GOLDEN_U, atol=1e-2)
+    assert int(res.iters) <= 40
+
+
 def test_dual_structure(example_data):
     import jax.numpy as jnp
     import numpy as np
