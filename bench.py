@@ -22,6 +22,8 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from pqp_for_mpc_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from pqp_for_mpc_tpu.config import SolverConfig
     from pqp_for_mpc_tpu.dual import dualize
     from pqp_for_mpc_tpu.io import load_example_dir

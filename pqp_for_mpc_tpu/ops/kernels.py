@@ -35,9 +35,12 @@ _SUBLANE = 8
 _LANE = 128
 
 #: Conservative per-core VMEM budget for kernel operands (bytes).
-#: ~16 MiB VMEM/core on current TPUs; leave headroom for Mosaic's own
-#: buffers and double-buffered panel pipelining.
-VMEM_BUDGET = 12 * 1024 * 1024
+#: ~16 MiB VMEM/core on v5e.  Empirically the scoped allocation Mosaic
+#: reports is ~1.8x the naive operand footprint (measured: N=1000,
+#: Bblk=128 -> operands 10.6 MiB, scoped alloc 19.29 MiB -> VMEM OOM), so
+#: the sizing below budgets 8 MiB of *operand* footprint and counts every
+#: panel double-buffered.
+VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,8 +56,8 @@ def pick_batch_block(n_pad: int, b_pad: int,
     avail = budget - mats
     if avail <= 0:
         return 0
-    # 4 panels (Fdn, Fdp, Y-in, Y-out) x2 for pipelining headroom
-    bb = avail // (8 * n_pad * 4)
+    # 5 panels (Fdn, Fdp, Y-in, Y-out, loop carry) x2 for double-buffering
+    bb = avail // (10 * n_pad * 4)
     bb = (bb // _LANE) * _LANE
     return max(0, min(bb, b_pad))
 
