@@ -203,7 +203,12 @@ def cmd_rollout(args) -> int:
     rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
     t0 = time.perf_counter()
-    out = ctrl.rollout(x0, steps=args.steps)
+    if args.jit:
+        ctrl.rollout_jit(x0, steps=args.steps)   # absorb compile
+        t0 = time.perf_counter()
+        out = ctrl.rollout_jit(x0, steps=args.steps)
+    else:
+        out = ctrl.rollout(x0, steps=args.steps)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "plant": args.plant, "horizon": args.horizon, "steps": args.steps,
@@ -258,6 +263,9 @@ def main(argv=None) -> int:
     p.add_argument("--horizon", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--jit", action="store_true",
+                   help="run the whole closed loop as one lax.scan "
+                        "dispatch (no per-step host round-trips)")
     p.set_defaults(fn=cmd_rollout)
 
     args = ap.parse_args(argv)

@@ -73,6 +73,46 @@ def dualize(primal: PrimalQP, theta_floor: float = 5.0,
     )
 
 
+def dual_geometry(Gp: jax.Array, Qp_inv: jax.Array,
+                  theta_floor: float = 5.0, precision: str = "highest"):
+    """The instance-invariant half of :func:`dualize`: everything that
+    depends only on the constraint geometry (Gp, Qp) — ``GQi = Gp Qp^-1``,
+    ``Qd``, ``theta`` and the Qd splits.  Compute once per problem
+    geometry and reuse across receding-horizon steps / scenario batches
+    via :func:`dualize_forcing` (the reference recomputes the full dual
+    every solve, convertToDual PQP_CPU.c:489-498)."""
+    p = _prec(precision)
+    GQi = jnp.matmul(Gp, Qp_inv, precision=p)              # (N, M)
+    Qd = jnp.matmul(GQi, Gp.T, precision=p)                # (N, N)
+    Qd_pos = jnp.maximum(Qd, 0.0)
+    Qd_neg = jnp.maximum(-Qd, 0.0)
+    theta = jnp.maximum(jnp.sum(Qd_neg, axis=1), theta_floor)
+    eye_theta = jnp.diag(theta)
+    return dict(GQi=GQi, Qd=Qd, theta=theta,
+                Qdp_theta=Qd_pos + eye_theta,
+                Qdn_theta=Qd_neg + eye_theta, Qp_inv=Qp_inv)
+
+
+def dualize_forcing(geom: dict, Fp: jax.Array, Mp: jax.Array,
+                    Kp: jax.Array, precision: str = "highest") -> DualQP:
+    """The per-instance half of :func:`dualize`: ``Fd = GQi Fp + Kp``,
+    ``Md = Fp'Qp^-1 Fp - Mp`` and the Fd split, given precomputed
+    :func:`dual_geometry`.  ``Fp`` may be ``(M,)`` or ``(M, B)``;
+    ``Mp`` scalar or ``(B,)``."""
+    p = _prec(precision)
+    batched = Fp.ndim == 2
+    Fp2 = Fp if batched else Fp[:, None]
+    Fd = jnp.matmul(geom["GQi"], Fp2, precision=p) + Kp[:, None]
+    QiF = jnp.matmul(geom["Qp_inv"], Fp2, precision=p)
+    Md = jnp.sum(Fp2 * QiF, axis=0) - Mp
+    if not batched:
+        Fd = Fd[:, 0]
+        Md = Md[0] if Md.ndim else Md
+    return DualQP(Qd=geom["Qd"], Fd=Fd, Md=Md, theta=geom["theta"],
+                  Qdp_theta=geom["Qdp_theta"], Qdn_theta=geom["Qdn_theta"],
+                  Fdp=jnp.maximum(Fd, 0.0), Fdn=jnp.maximum(-Fd, 0.0))
+
+
 def primal_from_dual(primal: PrimalQP, Y: jax.Array,
                      precision: str = "highest") -> jax.Array:
     """Recover the primal iterate ``U = -Qp^-1 (Fp + Gp' Y)``

@@ -35,7 +35,7 @@ import numpy as np
 from pqp_for_mpc_tpu.models.plants import LinearPlant
 from pqp_for_mpc_tpu.problem import CondensedMPCData, PrimalQP
 from pqp_for_mpc_tpu.config import SolverConfig
-from pqp_for_mpc_tpu.dual import dualize
+from pqp_for_mpc_tpu.dual import dual_geometry, dualize, dualize_forcing
 from pqp_for_mpc_tpu.solver import SolveResult, solve_batched
 
 
@@ -242,6 +242,73 @@ class MPCController:
             self._Y = res.Y
         u0 = res.U[:nu]
         return u0, res
+
+    def rollout_jit(self, x0, steps: int):
+        """Fully-jitted closed loop: ``lax.scan`` over control steps with
+        the PQP solve, constraint-vector rebuild (slew rows depend on the
+        previous input) and plant propagation all in one compiled graph.
+
+        This is the TPU-native answer to BASELINE config 4 (1000-step
+        receding-horizon rollout): the host-loop :meth:`rollout` pays a
+        device round-trip per step (~2 s/step over a tunneled chip),
+        while this path runs the entire rollout in one dispatch.  The
+        reference cannot express this at all — its solver is a main()
+        per QP.
+
+        Returns dict of stacked trajectories (x, u, iters, converged).
+        Disturbances and measurement noise are zero (use :meth:`rollout`
+        for custom per-step callables).
+        """
+        spec, data, cfg = self.spec, self.data, self.cfg
+        plant = spec.plant
+        H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
+        M = H * nu
+        N = 4 * M
+
+        A = jnp.asarray(plant.A, jnp.float32)
+        Bm = jnp.asarray(plant.B, jnp.float32)
+        geom = dual_geometry(data.Gp, data.Qp_inv,
+                             theta_floor=cfg.theta_floor,
+                             precision=cfg.precision)
+        # Kp = Kp_base + [0; 0; +e1 u_prev; -e1 u_prev]
+        # (input_constraints layout: box rows then +/- slew rows)
+        umax = jnp.tile(jnp.asarray(spec.u_max, jnp.float32), H)
+        umin = jnp.tile(jnp.asarray(spec.u_min, jnp.float32), H)
+        dmax = jnp.tile(jnp.asarray(spec.du_max, jnp.float32), H)
+        Kp_base = jnp.concatenate([umax, -umin, dmax, dmax])
+        D0 = jnp.zeros(H * nd, jnp.float32)
+        Qp = self.Qp
+        floor = self.warm_start_floor
+
+        def kp_of(u_prev):
+            e1u = jnp.zeros(M, jnp.float32).at[:nu].set(u_prev)
+            z = jnp.zeros(2 * M, jnp.float32)
+            return Kp_base + jnp.concatenate([z, e1u, -e1u])
+
+        def step(carry, _):
+            x, u_prev, Y = carry
+            Kp = kp_of(u_prev)
+            primal = dataclasses.replace(
+                data.assemble(x=x, D=D0, Qp=Qp), Kp=Kp)
+            dual = dualize_forcing(geom, primal.Fp, primal.Mp, Kp,
+                                   cfg.precision)
+            res = solve_batched(primal, dual,
+                                Y0=jnp.maximum(Y, floor), cfg=cfg)
+            u0 = res.U[:nu, 0]
+            xn = A @ x + Bm @ u0
+            return (xn, u0, res.Y), (xn, u0, res.iters[0],
+                                     res.converged[0])
+
+        @jax.jit
+        def run(x0):
+            init = (x0, jnp.zeros(nu, jnp.float32),
+                    jnp.full((N, 1), cfg.y0, jnp.float32))
+            _, traj = jax.lax.scan(step, init, None, length=steps)
+            return traj
+
+        xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
+        return dict(x=np.asarray(xs), u=np.asarray(us),
+                    iters=np.asarray(iters), converged=np.asarray(conv))
 
     def rollout(self, x0, steps: int, d_fn=None, noise=None):
         """Closed-loop simulation for ``steps`` steps (BASELINE config 4).

@@ -63,6 +63,23 @@ class SolveResult:
     Jp: jax.Array          # (B,) primal cost at exit
     Jd: jax.Array          # (B,) dual cost at exit
 
+    def stats(self) -> dict:
+        """Structured solve observability (SURVEY.md §5: the reference
+        only printf's the iteration count and costs).  Returns plain
+        Python scalars/lists for logging."""
+        import numpy as np
+        gap = np.asarray(self.Jp) + np.asarray(self.Jd)
+        jd = np.abs(np.asarray(self.Jd))
+        return {
+            "batch": int(np.asarray(self.iters).size),
+            "converged": int(np.asarray(self.converged).sum()),
+            "feasible": int(np.asarray(self.feasible).sum()),
+            "iters_mean": float(np.asarray(self.iters).mean()),
+            "iters_max": int(np.asarray(self.iters).max()),
+            "gap_abs_max": float(np.abs(gap).max()),
+            "gap_rel_max": float((np.abs(gap) / np.maximum(jd, 1e-30)).max()),
+        }
+
 
 def _as2d(v):
     return v if v.ndim == 2 else v[:, None]

@@ -92,6 +92,78 @@ def test_mpc_solves_and_is_feasible():
     assert np.all(np.abs(du) <= 1.0 + 1e-3)
 
 
+def test_dual_geometry_split_matches_dualize():
+    """dual_geometry + dualize_forcing == dualize (the split powers the
+    jitted receding-horizon loop)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import dualize
+    from pqp_for_mpc_tpu.dual import dual_geometry, dualize_forcing
+    from pqp_for_mpc_tpu.models import ZOO, condense
+
+    spec = _spec(ZOO["double_integrator"](), H=6)
+    data = condense(spec)
+    Qp = jnp.linalg.inv(data.Qp_inv)
+    primal = data.assemble(x=jnp.asarray([0.7, -0.3], jnp.float32),
+                           D=jnp.zeros(6, jnp.float32), Qp=Qp)
+    full = dualize(primal)
+    geom = dual_geometry(primal.Gp, primal.Qp_inv)
+    part = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp)
+    for f in ("Qd", "Fd", "Md", "theta", "Qdp_theta", "Qdn_theta",
+              "Fdp", "Fdn"):
+        np.testing.assert_allclose(np.asarray(getattr(part, f)),
+                                   np.asarray(getattr(full, f)),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_rollout_jit_matches_host_rollout():
+    """The scan-compiled closed loop regulates like the host loop and
+    reports per-step convergence."""
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    spec = MPCSpec(
+        plant=plant, horizon=16,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    ctrl = MPCController(spec)
+    out = ctrl.rollout_jit(np.array([2.0, 0.0], np.float32), steps=40)
+    assert bool(out["converged"].all())
+    assert abs(out["x"][-1][0]) < 0.1
+    # same trajectory shape as the host loop, compared loosely (the host
+    # loop floors warm starts identically)
+    host = MPCController(spec).rollout(np.array([2.0, 0.0], np.float32),
+                                       steps=10)
+    np.testing.assert_allclose(out["u"][:10, 0], host["u"][:10, 0],
+                               atol=5e-3)
+
+
+def test_scaled_condensed_mpc_horizon50():
+    """BASELINE config 3: horizon 50, 12-state/4-input random stable
+    plant -> M=200 vars, N=800 constraints; the solver must converge
+    with practical tolerances."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.config import MPC_CONFIG
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, random_stable
+
+    plant = random_stable(12, 4, seed=7)
+    ny, nu = plant.n_output, plant.n_input
+    spec = MPCSpec(
+        plant=plant, horizon=50,
+        Qy=np.eye(ny, dtype=np.float32), R=0.1 * np.eye(nu, dtype=np.float32),
+        r=np.zeros(ny, np.float32),
+        u_min=-2 * np.ones(nu, np.float32), u_max=2 * np.ones(nu, np.float32),
+        du_max=np.ones(nu, np.float32))
+    ctrl = MPCController(spec)
+    assert ctrl.data.Gp.shape == (800, 200)
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-0.5, 0.5, 12).astype(np.float32)
+    u0, res = ctrl.step(x0)
+    assert bool(np.asarray(res.converged).all())
+    assert bool(np.asarray(res.feasible).all())
+
+
 def test_accel_step_escapes_absorbing_zero():
     """Y_i = 0 is an absorbing state of the multiplicative update; the
     projected-gradient acceleration must be able to leave it when the
