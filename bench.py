@@ -30,7 +30,7 @@ def main() -> None:
     from pqp_for_mpc_tpu.ops.kernels import fits_vmem
     from pqp_for_mpc_tpu.solver import solve_batched
 
-    B = 8192
+    B = 65536   # large batch amortizes the ~26 ms tunnel round-trip
     data = load_example_dir("/root/reference/example")
     rng = np.random.default_rng(0)
     x = np.asarray(data.x, np.float32)[:, None] + rng.normal(
@@ -43,17 +43,33 @@ def main() -> None:
                        precision="default" if on_tpu else "highest")
     dual = dualize(primal, theta_floor=cfg.theta_floor)
 
-    def run():
-        res = solve_batched(primal, dual, cfg=cfg)
-        jax.block_until_ready(res.U)
-        return res
+    # Scalar fence: block_until_ready on a tunneled device is not a true
+    # completion barrier, and reading the whole U panel back would time
+    # the tunnel's D2H bandwidth instead of the solve; a device-side
+    # reduction with a 4-byte readback is the honest fence.
+    fence = jax.jit(lambda u: jnp.sum(u))
+
+    if on_tpu:
+        # whole-solve Pallas kernel: updates + checks + early exit in one
+        # launch per batch block
+        from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+
+        def run():
+            res = solve_fused(primal, dual, cfg=cfg)
+            float(fence(res.U))
+            return res
+    else:
+        def run():
+            res = solve_batched(primal, dual, cfg=cfg)
+            float(fence(res.U))
+            return res
 
     res = run()                      # compile + warm-up
     conv = float(np.asarray(res.converged).mean())
     iters = float(np.asarray(res.iters).mean())
 
     times = []
-    for _ in range(3):
+    for _ in range(10):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)

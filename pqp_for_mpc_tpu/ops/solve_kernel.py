@@ -1,0 +1,330 @@
+"""Whole-solve Pallas kernel: the entire PQP solve — multiplicative
+updates, periodic four-part termination check, early exit, primal
+recovery — in ONE kernel launch per batch block.
+
+Rationale: for example-sized problems (N=28 dual) the per-iteration math
+is trivial (two 32x32 matvecs per lane block); the measured cost of the
+two-kernel design (fused update kernel + XLA check phases, relaunched
+every ``check_every`` iterations) is dominated by launch/HBM round-trips
+— ~26 ms for a B=8192 batch where the update FLOPs need ~0.2 ms.  This
+kernel keeps *all* problem matrices and panels resident in VMEM for the
+whole solve and runs an in-kernel ``lax.while_loop`` with the same
+masked-convergence semantics as :func:`pqp_for_mpc_tpu.solver.solve_batched`.
+
+This is the TPU endpoint of the reference's fusion ladder: its best
+variant fuses one update's two matvecs into one launch
+(``matrixMultiplyCuda_computeupdateY2``, PQP_Fusion.cu:772-846) and its
+test harness sketches a fused primal-recovery kernel
+(``matrixMultiplyCuda_computeU``, testing/GPU Coarsened/…:542-620, never
+launchable due to a grid bug); a CUDA grid cannot fuse *across*
+iterations or checks, a Mosaic kernel can.
+
+Restrictions: shared (instance-invariant) Qd/Gp geometry; N and M padded
+to sublane quanta must fit VMEM alongside the panels (true for N up to a
+few hundred); tolerances and cadence are compile-time constants.
+
+Shapes (all float32):
+  Qdn_theta, Qdp_theta, Qd : (N, N)      Gp : (N, M)
+  Qp, Qp_inv               : (M, M)
+  Fp : (M, B)   Fd, Fdp, Fdn : (N, B)    Kp_slack : (N, 1)
+  Mp, Md : (1, B)                        Y0 : (N, B)
+Outputs:
+  Y, U (via -Qp^-1(Fp+Gp'Y)), iters (1, B) f32, done (1, B) f32 (bool).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pqp_for_mpc_tpu.ops.kernels import _LANE, _SUBLANE, _round_up
+
+#: operand-footprint budget (see kernels.py for the empirical 1.8x rule)
+VMEM_OPERAND_BUDGET = 8 * 1024 * 1024
+
+
+#: Cap on the per-grid-step batch block: the whole-solve kernel carries
+#: Y (and masks) through an in-kernel scf.while, so the carry must fit
+#: the vector register budget — large blocks explode the carry (a
+#: (32, 5760) Y alone is 180 vregs and fails Mosaic legalization), and
+#: oversized carries spill.  Swept on v5e at N=28/B=8192:
+#: 512 -> 245k solves/s, 1024 -> 3.23M, 2048 -> 261k, 4096 -> 234k.
+MAX_SOLVE_BLOCK_B = 1024
+
+
+def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
+                             budget: int = VMEM_OPERAND_BUDGET) -> int:
+    mats = (3 * n_pad * n_pad + n_pad * m_pad + 2 * m_pad * m_pad) * 4
+    avail = budget - mats
+    if avail <= 0:
+        return 0
+    # panels: Fp(M), Fd/Fdp/Fdn/Y/Y-out(N)x5, U-out(M), Mp/Md/iters/done(1)x4
+    per_lane = (2 * m_pad + 5 * n_pad + 4) * 4 * 2   # x2 double-buffer
+    bb = avail // per_lane
+    bb = (bb // _LANE) * _LANE
+    return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B))
+
+
+def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
+            qpi_ref, fp_ref, fd_ref, fdp_ref, fdn_ref, kps_ref, mp_ref,
+            md_ref, y0_ref, valid_ref, y_out, u_out, it_out, done_out):
+    (max_iters, check_every, accel_every, eaj, erj, strict, den_eps) = cfg_tuple
+    N, M = nm
+    qdn = qdn_ref[:]
+    qdp = qdp_ref[:]
+    qd = qd_ref[:]
+    gp = gp_ref[:]
+    qp = qp_ref[:]
+    qpi = qpi_ref[:]
+    fp = fp_ref[:]
+    fd = fd_ref[:]
+    fdp = fdp_ref[:]
+    fdn = fdn_ref[:]
+    kps = kps_ref[:]          # slack-augmented Kp column (N, 1)
+    mp = mp_ref[:]
+    md = md_ref[:]
+
+    f32 = jnp.float32
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+
+    def one_update(y, done):
+        num = dot(qdn, y) + fdn
+        den = dot(qdp, y) + fdp
+        if den_eps:
+            den = jnp.maximum(den, den_eps)
+        yn = (num / den) * y
+        return jnp.where(done, y, yn)
+
+    def accel(y, done):
+        grad = dot(qd, y) + fd
+        p = jnp.where((y > 0.0) | (grad < 0.0), -grad, 0.0)
+        pQp = jnp.sum(p * dot(qd, p), axis=0, keepdims=True)
+        alpha = jnp.where(pQp > 0,
+                          jnp.sum(p * p, axis=0, keepdims=True)
+                          / jnp.maximum(pQp, 1e-30), 0.0)
+        yn = jnp.maximum(y + alpha * p, 0.0)
+        fY = 0.5 * jnp.sum(y * (grad + fd), axis=0, keepdims=True)
+        fYn = (0.5 * jnp.sum(yn * dot(qd, yn), axis=0, keepdims=True)
+               + jnp.sum(fd * yn, axis=0, keepdims=True))
+        keep = (fYn <= fY) & jnp.logical_not(done)
+        return jnp.where(keep, yn, y)
+
+    def check(y):
+        u = -dot(qpi, dot(gp.T, y) + fp)                      # (M, B)
+        gpu = dot(gp, u)
+        nviol = jnp.sum((gpu > kps).astype(f32), axis=0, keepdims=True)
+        feas = nviol == 0.0
+        jd = (0.5 * jnp.sum(y * dot(qd, y), axis=0, keepdims=True)
+              + jnp.sum(fd * y, axis=0, keepdims=True) + 0.5 * md)
+        jp = (0.5 * jnp.sum(u * dot(qp, u), axis=0, keepdims=True)
+              + jnp.sum(fp * u, axis=0, keepdims=True) + 0.5 * mp)
+        gap = jp + jd
+        fail = (jnp.logical_not(feas) | (gap > eaj)
+                | (gap / jnp.abs(jd) > erj))
+        if strict:
+            fail = fail | (jp > -jd)
+        return jnp.logical_not(fail), u
+
+    n_chunks = max(1, check_every // max(accel_every, 1)) \
+        if accel_every else 1
+
+    # Mosaic cannot legalize scf.while carries holding padded-layout
+    # vectors (1-row masks, i1 vectors), so the loop state is kept as
+    # full (N, B) natural-tile f32 tensors: ``done`` and ``iters`` are
+    # row-replicated masks/counters.
+    NB = y0_ref.shape
+    full = lambda row: jnp.broadcast_to(row, NB)       # (1,B) -> (N,B)
+
+    def body(state):
+        y, done_f, h, iters_f = state
+        done = done_f > 0.0
+        ok_row, _ = check(y)
+        ok = full(ok_row)
+        newly = ok & jnp.logical_not(done)
+        iters_f = jnp.where(newly, h, iters_f)
+        done = done | ok
+        if accel_every:
+            def chunk(_, yc):
+                yc = lax.fori_loop(
+                    0, accel_every, lambda _, z: one_update(z, done), yc)
+                return accel(yc, done)
+            y = lax.fori_loop(0, n_chunks, chunk, y)
+        else:
+            y = lax.fori_loop(0, check_every,
+                              lambda _, z: one_update(z, done), y)
+        return (y, done.astype(f32), h + f32(check_every), iters_f)
+
+    def cond(state):
+        y, done_f, h, iters_f = state
+        return jnp.logical_and(jnp.min(done_f) < 1.0,
+                               h <= f32(max_iters))
+
+    # padded batch lanes start done so they never gate the loop
+    done0 = full(valid_ref[:] == 0.0).astype(f32)
+    it0 = jnp.zeros(NB, f32)
+    y, done_f, h, iters_f = lax.while_loop(
+        cond, body, (y0_ref[:], done0, f32(1.0), it0))
+
+    done = done_f > 0.0
+    ok_row, u = check(y)
+    ok = full(ok_row)
+    newly = ok & jnp.logical_not(done)
+    iters_f = jnp.where(newly, h, iters_f)
+    done = done | ok
+    iters_f = jnp.where(done, iters_f, h)
+    y_out[:] = y
+    u_out[:] = u
+    it_out[:] = iters_f[0:1, :]
+    done_out[:] = done[0:1, :].astype(f32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every", "accel_every",
+                              "eaj", "erj", "strict", "den_eps",
+                              "interpret", "block_b"))
+def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
+                     Fp, Fd, Fdp, Fdn, Kp_slack, Mp, Md, Y0,
+                     *, max_iters: int, check_every: int,
+                     accel_every: int = 0, eaj: float = 1e-6,
+                     erj: float = 1e-6, strict: bool = True,
+                     den_eps: float = 1e-30, interpret: bool = False,
+                     block_b: int | None = None):
+    """Run the full batched PQP solve in one Pallas launch.
+
+    ``Kp_slack`` is the pre-slackened feasibility threshold
+    ``Kp + max(erc*Kp, eac)`` (compare, PQP_CPU.c:334-343).
+    Returns ``(Y, U, iters, done)`` with batch padding stripped.
+    """
+    N, B = Y0.shape
+    M = Fp.shape[0]
+    n_pad = _round_up(max(N, _SUBLANE), _SUBLANE)
+    m_pad = _round_up(max(M, _SUBLANE), _SUBLANE)
+    b_pad = _round_up(max(B, _LANE), _LANE)
+    bb = block_b if block_b is not None else \
+        solve_kernel_batch_block(n_pad, m_pad, b_pad)
+    if bb <= 0:
+        raise ValueError(f"fused_full_solve: N={N}, M={M} exceed the VMEM "
+                         "operand budget; use solve_batched")
+    b_pad = _round_up(b_pad, bb)
+
+    dn, dm, db = n_pad - N, m_pad - M, b_pad - B
+    f32 = jnp.float32
+
+    def pad_nn(A, diag=1.0):
+        if not dn:
+            return A
+        out = jnp.zeros((n_pad, n_pad), f32).at[:N, :N].set(A)
+        if diag:
+            out = out.at[jnp.arange(N, n_pad), jnp.arange(N, n_pad)].set(diag)
+        return out
+
+    def pad_mm(A, diag=1.0):
+        if not dm:
+            return A
+        out = jnp.zeros((m_pad, m_pad), f32).at[:M, :M].set(A)
+        if diag:
+            out = out.at[jnp.arange(M, m_pad), jnp.arange(M, m_pad)].set(diag)
+        return out
+
+    # Padded dual coordinates: identity diagonal + zero forcing + Y0=1 =>
+    # exact fixed point of the update (num=den=1).  They contribute 0 to
+    # every reduction because their Fd/Fp/Gp entries are 0 and U padding
+    # follows -Qp^-1*0 = 0.  Padded *batch* lanes get Y0=1, Fd=0 and a
+    # +inf feasibility slack so they converge at the first check and
+    # never gate the while loop.
+    Qdn_theta = pad_nn(Qdn_theta)
+    Qdp_theta = pad_nn(Qdp_theta)
+    Qd_p = pad_nn(Qd, diag=0.0)
+    Gp_p = jnp.zeros((n_pad, m_pad), f32).at[:N, :M].set(Gp) \
+        if (dn or dm) else Gp
+    Qp_p = pad_mm(Qp)
+    Qpi_p = pad_mm(Qp_inv)
+    Fp_p = jnp.pad(Fp, ((0, dm), (0, db)))
+    Fd_p = jnp.pad(Fd, ((0, dn), (0, db)))
+    Fdp_p = jnp.pad(Fdp, ((0, dn), (0, db)))
+    Fdn_p = jnp.pad(Fdn, ((0, dn), (0, db)))
+    Kps_p = jnp.pad(Kp_slack.reshape(N, 1), ((0, dn), (0, 0)),
+                    constant_values=jnp.inf)
+    Mp_p = jnp.pad(Mp.reshape(1, B), ((0, 0), (0, db)))
+    Md_p = jnp.pad(Md.reshape(1, B), ((0, 0), (0, db)))
+    Y0_p = jnp.pad(Y0, ((0, dn), (0, db)), constant_values=1.0)
+    valid = jnp.pad(jnp.ones((1, B), f32), ((0, 0), (0, db)))
+
+    grid = (b_pad // bb,)
+    rep = lambda r, c: pl.BlockSpec((r, c), lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    panel = lambda r: pl.BlockSpec((r, bb), lambda b: (0, b),
+                                   memory_space=pltpu.VMEM)
+
+    cfg_tuple = (max_iters, check_every, accel_every, eaj, erj, strict,
+                 den_eps)
+    y, u, iters, done = pl.pallas_call(
+        functools.partial(_kernel, cfg_tuple, (n_pad, m_pad)),
+        grid=grid,
+        in_specs=[rep(n_pad, n_pad), rep(n_pad, n_pad), rep(n_pad, n_pad),
+                  rep(n_pad, m_pad), rep(m_pad, m_pad), rep(m_pad, m_pad),
+                  panel(m_pad), panel(n_pad), panel(n_pad), panel(n_pad),
+                  rep(n_pad, 1), panel(1), panel(1), panel(n_pad),
+                  panel(1)],
+        out_specs=[panel(n_pad), panel(m_pad), panel(1), panel(1)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, b_pad), f32),
+                   jax.ShapeDtypeStruct((m_pad, b_pad), f32),
+                   jax.ShapeDtypeStruct((1, b_pad), f32),
+                   jax.ShapeDtypeStruct((1, b_pad), f32)],
+        interpret=interpret,
+    )(Qdn_theta, Qdp_theta, Qd_p, Gp_p, Qp_p, Qpi_p, Fp_p, Fd_p, Fdp_p,
+      Fdn_p, Kps_p, Mp_p, Md_p, Y0_p, valid)
+    return (y[:N, :B], u[:M, :B], iters[0, :B].astype(jnp.int32),
+            done[0, :B] > 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
+    """Drop-in analog of :func:`pqp_for_mpc_tpu.solver.solve_batched`
+    running the whole solve in one Pallas launch (shared-geometry batches
+    only).  Returns a :class:`~pqp_for_mpc_tpu.solver.SolveResult`; the
+    exit-time costs/feasibility are recomputed with the XLA helpers
+    (fused into the same jit, so one dispatch covers everything)."""
+    import jax.numpy as jnp
+
+    from pqp_for_mpc_tpu.config import SolverConfig
+    from pqp_for_mpc_tpu.solver import (SolveResult, _as2d, costs,
+                                        feasibility)
+
+    cfg = cfg or SolverConfig()
+    if dual.Qd.ndim != 2:
+        raise ValueError("solve_fused requires shared Qd geometry")
+    N = dual.n_con
+    Fd2 = _as2d(dual.Fd)
+    B = Fd2.shape[1]
+    if Y0 is None:
+        Y0 = jnp.full((N, B), cfg.y0, jnp.float32)
+    else:
+        Y0 = _as2d(Y0)
+        if Y0.shape[1] == 1 and B > 1:
+            Y0 = jnp.broadcast_to(Y0, (N, B))
+        B = max(B, Y0.shape[1])
+    Fp2 = jnp.broadcast_to(_as2d(primal.Fp), (primal.Gp.shape[1], B))
+    Fd2 = jnp.broadcast_to(Fd2, (N, B))
+    Mp2 = jnp.broadcast_to(jnp.atleast_1d(primal.Mp), (B,))
+    Md2 = jnp.broadcast_to(jnp.atleast_1d(dual.Md), (B,))
+    kp_slack = primal.Kp + jnp.maximum(cfg.erc * primal.Kp, cfg.eac)
+
+    Y, U, iters, done = fused_full_solve(
+        dual.Qdn_theta, dual.Qdp_theta, dual.Qd, primal.Gp, primal.Qp,
+        primal.Qp_inv, Fp2,
+        Fd2, jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
+        jnp.broadcast_to(_as2d(dual.Fdn), (N, B)), kp_slack, Mp2, Md2, Y0,
+        max_iters=cfg.max_iters, check_every=cfg.check_every,
+        accel_every=cfg.accel_every, eaj=cfg.eaj, erj=cfg.erj,
+        strict=cfg.strict_weak_duality, den_eps=cfg.den_eps,
+        interpret=interpret)
+    feas = feasibility(primal, U, cfg.erc, cfg.eac)
+    Jp, Jd = costs(primal, dual, Y, U)
+    return SolveResult(U=U, Y=Y, iters=iters, converged=done,
+                       feasible=feas, Jp=Jp, Jd=Jd)

@@ -1,0 +1,92 @@
+"""Pallas kernel conformance (interpret mode on the CPU backend).
+
+The fused kernels must be trajectory-identical to the XLA solver path:
+same iteration counts, same U*, same convergence flags.  On real TPUs
+the same kernels are exercised by bench.py and the CLI.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def batched_example(example_data):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.dual import dualize
+
+    rng = np.random.default_rng(0)
+    B = 72   # deliberately not a lane multiple: exercises batch padding
+    x = np.asarray(example_data.x, np.float32)[:, None] + rng.normal(
+        0, 0.3, (29, B)).astype(np.float32)
+    primal = example_data.assemble(
+        x=jnp.asarray(x), Qp=jnp.linalg.inv(example_data.Qp_inv))
+    return primal, dualize(primal), B
+
+
+def test_fused_iterations_matches_xla_updates(batched_example):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.ops.kernels import fused_pqp_iterations
+    from pqp_for_mpc_tpu.solver import _as2d, pqp_update
+
+    primal, dual, B = batched_example
+    N = dual.n_con
+    Y = jnp.full((N, B), 1000.0, jnp.float32)
+    Fdn = jnp.broadcast_to(_as2d(dual.Fdn), (N, B))
+    Fdp = jnp.broadcast_to(_as2d(dual.Fdp), (N, B))
+    got = fused_pqp_iterations(dual.Qdn_theta, dual.Qdp_theta, Fdn, Fdp,
+                               Y, num_iters=10, interpret=True)
+    want = Y
+    for _ in range(10):
+        want = pqp_update(dual, want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_full_solve_kernel_matches_solver(batched_example):
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual, B = batched_example
+    cfg = SolverConfig(max_iters=5000, check_every=8)
+    ref = solve_batched(primal, dual, cfg=cfg)
+    res = solve_fused(primal, dual, cfg=cfg, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_full_solve_kernel_with_accel(batched_example):
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual, B = batched_example
+    # strict_weak_duality off; and the bar is *parity with the XLA path*,
+    # not universal convergence — with y0=1 + accel the trajectory can
+    # stop where the 1e-6 absolute gap is below one float32 ulp of the
+    # O(1e5) costs, so the odd lane legitimately exhausts max_iters in
+    # both implementations identically.
+    cfg = SolverConfig(max_iters=5000, check_every=4, accel_every=4,
+                       y0=1.0, strict_weak_duality=False)
+    ref = solve_batched(primal, dual, cfg=cfg)
+    res = solve_fused(primal, dual, cfg=cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+    assert np.asarray(res.converged).mean() > 0.9
+    conv = np.asarray(res.converged)
+    assert float(np.asarray(res.iters)[conv].mean()) <= 40
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_full_solve_rejects_oversized_problem():
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_kernel_batch_block
+
+    # N so large the matrices alone exceed the operand budget
+    assert solve_kernel_batch_block(2048, 1024, 128) == 0
