@@ -326,5 +326,6 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
         interpret=interpret)
     feas = feasibility(primal, U, cfg.erc, cfg.eac)
     Jp, Jd = costs(primal, dual, Y, U)
-    return SolveResult(U=U, Y=Y, iters=iters, converged=done,
-                       feasible=feas, Jp=Jp, Jd=Jd)
+    div = ~jnp.all(jnp.isfinite(Y), axis=0)
+    return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
+                       feasible=feas, Jp=Jp, Jd=Jd, diverged=div)

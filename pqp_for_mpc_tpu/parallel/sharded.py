@@ -146,52 +146,98 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                 fail = fail | (Jp > -Jd)
             return ~fail, U, feas, Jp, Jd
 
+        def one_update(Yl, done):
+            Yf = gather(Yl)
+            num = jnp.matmul(Qdn_b, Yf, precision=prec) + Fdn_b
+            den = jnp.matmul(Qdp_b, Yf, precision=prec) + Fdp_b
+            if cfg.den_eps:
+                den = jnp.maximum(den, cfg.den_eps)
+            Yn = (num / den) * Yl
+            return jnp.where(done[None, :], Yl, Yn)
+
+        def accel_sh(Yb, done):
+            """Row-sharded rendition of solver.accel_step: the direction
+            and line-search quotients are psum partial reductions, with
+            two extra all-gathers (p, Y_candidate) along model."""
+            Yf = gather(Yb)
+            grad_b = jnp.matmul(Qd_b, Yf, precision=prec) + Fd_b
+            p_b = jnp.where((Yb > 0.0) | (grad_b < 0.0), -grad_b, 0.0)
+            pf = gather(p_b)
+            Qdp_full = jnp.matmul(Qd_b, pf, precision=prec)
+            pQp = lax.psum(jnp.sum(p_b * Qdp_full, axis=0), model_axis)
+            p2 = lax.psum(jnp.sum(p_b * p_b, axis=0), model_axis)
+            alpha = jnp.where(pQp > 0, p2 / jnp.maximum(pQp, 1e-30), 0.0)
+            Yn_b = jnp.maximum(Yb + alpha[None, :] * p_b, 0.0)
+            fY = lax.psum(
+                jnp.sum(0.5 * Yb * (grad_b + Fd_b), axis=0), model_axis)
+            Ynf = gather(Yn_b)
+            fYn = lax.psum(
+                jnp.sum(0.5 * Yn_b * jnp.matmul(Qd_b, Ynf, precision=prec)
+                        + Fd_b * Yn_b, axis=0), model_axis)
+            keep = (fYn <= fY) & ~done
+            return jnp.where(keep[None, :], Yn_b, Yb)
+
         def run_updates(Yb, done):
-            def body(_, Yl):
-                Yf = gather(Yl)
-                num = jnp.matmul(Qdn_b, Yf, precision=prec) + Fdn_b
-                den = jnp.matmul(Qdp_b, Yf, precision=prec) + Fdp_b
-                Yn = (num / den) * Yl
-                return jnp.where(done[None, :], Yl, Yn)
-            return lax.fori_loop(0, k, body, Yb)
+            if not cfg.accel_every:
+                return lax.fori_loop(
+                    0, k, lambda _, Y: one_update(Y, done), Yb)
+
+            def chunk(_, Yc):
+                Yc = lax.fori_loop(
+                    0, cfg.accel_every,
+                    lambda _, Y: one_update(Y, done), Yc)
+                return accel_sh(Yc, done)
+            return lax.fori_loop(0, k // cfg.accel_every, chunk, Yb)
 
         def global_unsolved(done):
             # count over both mesh axes so every device agrees on the trip
             return lax.psum(lax.psum(jnp.sum(~done), model_axis), data_axis)
 
+        def local_bad(Yb, done):
+            # divergence: non-finite anywhere in the (row-sharded) iterate
+            nbad = lax.psum(jnp.sum((~jnp.isfinite(Yb)).astype(jnp.int32),
+                                    axis=0), model_axis)
+            return (nbad > 0) & ~done
+
         def cond(state):
-            Yb, done, h, iters, unsolved = state
+            Yb, done, h, iters, div, unsolved = state
             return jnp.logical_and(unsolved > 0, h <= cfg.max_iters)
 
         def body(state):
-            Yb, done, h, iters, _ = state
+            Yb, done, h, iters, div, _ = state
             ok, _, _, _, _ = check(Yb)
-            newly = ok & ~done
+            bad = local_bad(Yb, done)
+            newly = ok & ~done & ~bad
             iters = jnp.where(newly, h, iters)
-            done = done | ok
+            done = done | ok | bad
+            div = div | bad
             Yb = run_updates(Yb, done)
-            return (Yb, done, h + jnp.int32(k), iters,
+            return (Yb, done, h + jnp.int32(k), iters, div,
                     global_unsolved(done))
 
         done0 = jnp.zeros((Bl,), bool)
         iters0 = jnp.zeros((Bl,), jnp.int32)
-        state = (Y0_b, done0, jnp.int32(1), iters0, jnp.int32(1))
-        Yb, done, h, iters, _ = lax.while_loop(cond, body, state)
+        div0 = jnp.zeros((Bl,), bool)
+        state = (Y0_b, done0, jnp.int32(1), iters0, div0, jnp.int32(1))
+        Yb, done, h, iters, div, _ = lax.while_loop(cond, body, state)
 
         ok, U, feas, Jp, Jd = check(Yb)
-        newly = ok & ~done
+        bad = local_bad(Yb, done)
+        div = div | bad
+        newly = ok & ~done & ~bad
         iters = jnp.where(newly, h, iters)
-        done = done | ok
+        done = done | ok | bad
         iters = jnp.where(done, iters, h)
-        return SolveResult(U=U, Y=Yb, iters=iters, converged=done,
-                           feasible=feas, Jp=Jp, Jd=Jd)
+        return SolveResult(U=U, Y=Yb, iters=iters, converged=done & ~div,
+                           feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
 
     fn = jax.shard_map(
         inner, mesh=mesh,
         in_specs=(row, row, row, panel, panel, panel,
                   P(model_axis), row, repl, repl, colp, bvec, bvec, panel),
         out_specs=SolveResult(U=colp, Y=panel, iters=bvec, converged=bvec,
-                              feasible=bvec, Jp=bvec, Jd=bvec),
+                              feasible=bvec, Jp=bvec, Jd=bvec,
+                              diverged=bvec),
         check_vma=False)
     return fn(dual.Qd, dual.Qdn_theta, dual.Qdp_theta, Fd2, Fdp2, Fdn2,
               primal.Kp, primal.Gp, primal.Qp, primal.Qp_inv,

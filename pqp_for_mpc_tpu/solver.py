@@ -62,6 +62,9 @@ class SolveResult:
     feasible: jax.Array    # (B,) bool — constraint check at exit
     Jp: jax.Array          # (B,) primal cost at exit
     Jd: jax.Array          # (B,) dual cost at exit
+    diverged: jax.Array = None  # (B,) bool — non-finite iterate detected
+                                # (failure detection the reference lacks,
+                                # SURVEY.md §5); None on legacy paths
 
     def stats(self) -> dict:
         """Structured solve observability (SURVEY.md §5: the reference
@@ -255,32 +258,40 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
         return lax.fori_loop(0, k // cfg.accel_every, chunk, Y)
 
     def cond(state):
-        Y, done, h, iters = state
+        Y, done, h, iters, div = state
         return jnp.logical_and(~jnp.all(done), h <= cfg.max_iters)
 
     def body(state):
-        Y, done, h, iters = state
+        Y, done, h, iters, div = state
         ok, _, _, _, _ = check_terminate(primal, dual, Y, cfg, prec)
-        newly = ok & ~done
+        # divergence detection (reference has none, SURVEY.md §5): a
+        # non-finite iterate can never recover under the multiplicative
+        # update — freeze the lane instead of spinning to max_iters.
+        bad = ~jnp.all(jnp.isfinite(Y), axis=0) & ~done
+        newly = ok & ~done & ~bad
         iters = jnp.where(newly, h, iters)
-        done = done | ok
+        done = done | ok | bad
+        div = div | bad
         Y = run_updates(Y, done)
-        return (Y, done, h + jnp.int32(k), iters)
+        return (Y, done, h + jnp.int32(k), iters, div)
 
     done0 = jnp.zeros((B,), dtype=bool)
     iters0 = jnp.zeros((B,), dtype=jnp.int32)
-    Y, done, h, iters = lax.while_loop(
-        cond, body, (Y0, done0, jnp.int32(1), iters0))
+    div0 = jnp.zeros((B,), dtype=bool)
+    Y, done, h, iters, div = lax.while_loop(
+        cond, body, (Y0, done0, jnp.int32(1), iters0, div0))
 
     # Final check so exit diagnostics reflect the returned iterate even for
     # instances that hit max_iters.
     ok, U, feas, Jp, Jd = check_terminate(primal, dual, Y, cfg, prec)
-    newly = ok & ~done
+    bad = ~jnp.all(jnp.isfinite(Y), axis=0)
+    div = div | (bad & ~done)
+    newly = ok & ~done & ~bad
     iters = jnp.where(newly, h, iters)
-    done = done | ok
+    done = done | ok | bad
     iters = jnp.where(done, iters, h)
-    return SolveResult(U=U, Y=Y, iters=iters, converged=done,
-                       feasible=feas, Jp=Jp, Jd=Jd)
+    return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
+                       feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
 
 
 def solve(primal: PrimalQP, dual: Optional[DualQP] = None,
@@ -297,4 +308,5 @@ def solve(primal: PrimalQP, dual: Optional[DualQP] = None,
     return SolveResult(
         U=res.U[:, 0], Y=res.Y[:, 0], iters=squeeze(res.iters),
         converged=squeeze(res.converged), feasible=squeeze(res.feasible),
-        Jp=squeeze(res.Jp), Jd=squeeze(res.Jd))
+        Jp=squeeze(res.Jp), Jd=squeeze(res.Jd),
+        diverged=squeeze(res.diverged))
