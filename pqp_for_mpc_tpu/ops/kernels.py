@@ -34,13 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 _SUBLANE = 8
 _LANE = 128
 
-#: Conservative per-core VMEM budget for kernel operands (bytes).
-#: ~16 MiB VMEM/core on v5e.  Empirically the scoped allocation Mosaic
-#: reports is ~1.8x the naive operand footprint (measured: N=1000,
-#: Bblk=128 -> operands 10.6 MiB, scoped alloc 19.29 MiB -> VMEM OOM), so
-#: the sizing below budgets 8 MiB of *operand* footprint and counts every
-#: panel double-buffered.
-VMEM_BUDGET = 8 * 1024 * 1024
+#: Per-core VMEM budget for kernel operands (bytes).  The Mosaic default
+#: scoped-vmem limit is 16 MiB, but v5e physically has far more and the
+#: limit is raisable via CompilerParams(vmem_limit_bytes=...) — with the
+#: raised limit below, an N=1000 fused kernel (8 MiB of matrices) runs
+#: fine (measured 1.84 TFLOPs).  Empirically Mosaic's scoped allocation
+#: is ~1.8x the naive operand footprint, so budget operands at 40 MiB
+#: against a 110 MiB raised limit and count every panel double-buffered.
+VMEM_BUDGET = 40 * 1024 * 1024
+
+#: Raised Mosaic scoped-vmem limit passed to every pallas_call.
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,6 +152,8 @@ def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
             bytes_accessed=(2 * n_pad * n_pad + 4 * n_pad * b_pad) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(Qdn_theta, Qdp_theta, Fdn, Fdp, Y)
     return out[:N, :B]

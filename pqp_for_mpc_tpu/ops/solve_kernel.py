@@ -42,10 +42,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pqp_for_mpc_tpu.ops.kernels import _LANE, _SUBLANE, _round_up
+from pqp_for_mpc_tpu.ops.kernels import (_LANE, _SUBLANE, _round_up,
+                                         VMEM_LIMIT_BYTES)
 
-#: operand-footprint budget (see kernels.py for the empirical 1.8x rule)
-VMEM_OPERAND_BUDGET = 8 * 1024 * 1024
+#: operand-footprint budget (see kernels.py for the empirical 1.8x rule
+#: and the raised Mosaic scoped-vmem limit)
+VMEM_OPERAND_BUDGET = 40 * 1024 * 1024
 
 
 #: Cap on the per-grid-step batch block: the whole-solve kernel carries
@@ -67,7 +69,10 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     per_lane = (2 * m_pad + 5 * n_pad + 4) * 4 * 2   # x2 double-buffer
     bb = avail // per_lane
     bb = (bb // _LANE) * _LANE
-    return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B))
+    # vreg-pressure cap: the while carry holds ~3 (N, bb) f32 tensors at
+    # (n/8)*(bb/128) vregs each; keep the total under ~256 vregs.
+    vreg_cap = max(_LANE, (256 * 1024 // (3 * n_pad)) // _LANE * _LANE)
+    return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))
 
 
 def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
@@ -276,6 +281,8 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                    jax.ShapeDtypeStruct((m_pad, b_pad), f32),
                    jax.ShapeDtypeStruct((1, b_pad), f32),
                    jax.ShapeDtypeStruct((1, b_pad), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(Qdn_theta, Qdp_theta, Qd_p, Gp_p, Qp_p, Qpi_p, Fp_p, Fd_p, Fdp_p,
       Fdn_p, Kps_p, Mp_p, Md_p, Y0_p, valid)
