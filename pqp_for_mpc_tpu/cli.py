@@ -93,7 +93,8 @@ def cmd_solve_file(args) -> int:
     from pqp_for_mpc_tpu.problem import PrimalQP
     from pqp_for_mpc_tpu.solver import solve
 
-    inst = read_generator_file(args.file)
+    inst = read_generator_file(args.file,
+                               reference_quirks=args.reference_quirks)
     qp, qpi, fp, mp, gp, kp = to_primal_arrays(inst)
     primal = PrimalQP(Qp=jnp.asarray(qp), Qp_inv=jnp.asarray(qpi),
                       Fp=jnp.asarray(fp), Mp=jnp.asarray(mp),
@@ -234,6 +235,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("solve-file", help="solve a generator-format file")
     p.add_argument("file")
+    p.add_argument("--reference-quirks", action="store_true",
+                   help="reproduce the reference harness reader's quirks "
+                        "(random Kp overwrite; -1 entries flipped to 1)")
     _add_solver_flags(p)
     p.set_defaults(fn=cmd_solve_file)
 

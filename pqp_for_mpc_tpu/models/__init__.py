@@ -1,8 +1,11 @@
 from pqp_for_mpc_tpu.models.plants import (  # noqa: F401
     ZOO,
     LinearPlant,
+    aircraft_pitch,
+    dc_motor,
     double_integrator,
     mass_spring_damper,
+    quadruple_tank,
     random_stable,
     thermal_rc,
 )

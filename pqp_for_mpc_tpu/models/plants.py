@@ -149,9 +149,71 @@ def random_stable(n_state: int, n_input: int, n_dist: int = 1,
     return LinearPlant(A, B, E, C, name=f"random_{n_state}x{n_input}")
 
 
+def dc_motor(dt: float = 0.01) -> LinearPlant:
+    """Armature-controlled DC motor: state [angle, angular velocity,
+    current], voltage input, load-torque disturbance, angle observed."""
+    J, b, K, R, L = 0.01, 0.1, 0.01, 1.0, 0.5
+    Ac = np.array([[0.0, 1.0, 0.0],
+                   [0.0, -b / J, K / J],
+                   [0.0, -K / L, -R / L]])
+    Bc = np.array([[0.0], [0.0], [1.0 / L]])
+    Ec = np.array([[0.0], [-1.0 / J], [0.0]])
+    A = np.eye(3) + dt * Ac
+    B = dt * Bc
+    E = dt * Ec
+    C = np.array([[1.0, 0.0, 0.0]])
+    A, B, E, C = _f32(A, B, E, C)
+    return LinearPlant(A, B, E, C, name="dc_motor")
+
+
+def aircraft_pitch(dt: float = 0.02) -> LinearPlant:
+    """Longitudinal pitch dynamics (standard 3-state trainer model:
+    angle of attack, pitch rate, pitch angle; elevator input; vertical
+    gust disturbance; pitch angle observed)."""
+    Ac = np.array([[-0.313, 56.7, 0.0],
+                   [-0.0139, -0.426, 0.0],
+                   [0.0, 56.7, 0.0]])
+    Bc = np.array([[0.232], [0.0203], [0.0]])
+    Ec = np.array([[0.1], [0.001], [0.0]])
+    A = np.eye(3) + dt * Ac
+    B = dt * Bc
+    E = dt * Ec
+    C = np.array([[0.0, 0.0, 1.0]])
+    A, B, E, C = _f32(A, B, E, C)
+    return LinearPlant(A, B, E, C, name="aircraft_pitch")
+
+
+def quadruple_tank(dt: float = 1.0) -> LinearPlant:
+    """Johansson's quadruple-tank process (linearized at the minimum-
+    phase operating point): 4 tank levels, 2 pump inputs, inflow
+    disturbance into tank 3, lower-tank levels observed."""
+    T = np.array([62.0, 90.0, 23.0, 30.0])      # time constants
+    A1, A3 = 28.0, 28.0
+    A2, A4 = 32.0, 32.0
+    k1, k2 = 3.33, 3.35
+    g1, g2 = 0.7, 0.6
+    Ac = np.diag(-1.0 / T)
+    Ac[0, 2] = A3 / (A1 * T[2])
+    Ac[1, 3] = A4 / (A2 * T[3])
+    Bc = np.array([[g1 * k1 / A1, 0.0],
+                   [0.0, g2 * k2 / A2],
+                   [0.0, (1 - g2) * k2 / A3],
+                   [(1 - g1) * k1 / A4, 0.0]])
+    Ec = np.array([[0.0], [0.0], [1.0 / A3], [0.0]])
+    A = np.eye(4) + dt * Ac
+    B = dt * Bc
+    E = dt * Ec
+    C = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    A, B, E, C = _f32(A, B, E, C)
+    return LinearPlant(A, B, E, C, name="quadruple_tank")
+
+
 ZOO = {
     "double_integrator": double_integrator,
     "mass_spring_damper": mass_spring_damper,
     "thermal_rc": thermal_rc,
     "random_stable": random_stable,
+    "dc_motor": dc_motor,
+    "aircraft_pitch": aircraft_pitch,
+    "quadruple_tank": quadruple_tank,
 }

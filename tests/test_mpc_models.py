@@ -41,7 +41,9 @@ def _rollout_cost(spec, x0, D_seq, U):
 
 
 @pytest.mark.parametrize("plant_name", ["double_integrator",
-                                        "mass_spring_damper", "thermal_rc"])
+                                        "mass_spring_damper", "thermal_rc",
+                                        "dc_motor", "aircraft_pitch",
+                                        "quadruple_tank"])
 def test_condensed_cost_matches_rollout(plant_name):
     from pqp_for_mpc_tpu.models import ZOO, condense
     import jax.numpy as jnp
