@@ -1,0 +1,46 @@
+"""CLI surface tests (in-process main(argv), CPU backend)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_generate_and_solve_file_roundtrip(tmp_path, capsys):
+    from pqp_for_mpc_tpu.cli import main
+
+    out = str(tmp_path / "inst.txt")
+    assert main(["generate", "12", "30", "--seed", "5", "-o", out]) == 0
+    capsys.readouterr()
+    rc = main(["solve-file", out, "--y0", "0.01", "--accel-every", "4",
+               "--check-every", "8", "--no-strict", "--max-iters", "50000",
+               "--eaj", "1e-3", "--erj", "1e-4"])
+    text = capsys.readouterr().out
+    assert "M=12 N=30" in text
+    assert rc in (0, 2)   # convergence depends on the random instance
+
+
+def test_solve_example_dir(example_dir, capsys):
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["solve", example_dir, "--accel-every", "4",
+               "--check-every", "4", "--max-iters", "5000"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Printing number of iterations" in out
+    assert "Jp = 155845" in out
+    # first component of U*
+    assert "-6.39" in out
+
+
+def test_rollout_jit_cli(capsys):
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator", "--horizon",
+               "12", "--steps", "10", "--jit"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rc == 0
+    assert rec["steps"] == 10
+    assert rec["iters_max"] < 50_000
