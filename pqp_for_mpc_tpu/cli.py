@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -183,9 +184,26 @@ def cmd_bench(args) -> int:
 
 
 def cmd_bench_example(args) -> int:
-    import bench as _bench_mod  # repo-root bench.py
-    _bench_mod.main()
+    # bench.py lives at the repo root (it is the driver's entry point,
+    # not part of the package); load it by path so this subcommand works
+    # from any cwd.
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "bench.py")
+    if not os.path.exists(path):
+        print("bench.py not found (installed package without the repo); "
+              "use `bench` for the fixed-iteration harness", file=sys.stderr)
+        return 1
+    spec = importlib.util.spec_from_file_location("_pqp_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
     return 0
+
+
+#: zoo entries constructible with no arguments (random_stable needs dims)
+_ROLLOUT_PLANTS = ("double_integrator", "mass_spring_damper", "thermal_rc",
+                   "dc_motor", "aircraft_pitch", "quadruple_tank")
 
 
 def cmd_rollout(args) -> int:
@@ -263,7 +281,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench_example)
 
     p = sub.add_parser("rollout", help="receding-horizon closed loop")
-    p.add_argument("--plant", default="double_integrator")
+    p.add_argument("--plant", default="double_integrator",
+                   choices=_ROLLOUT_PLANTS)
     p.add_argument("--horizon", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)

@@ -42,35 +42,10 @@ def dualize(primal: PrimalQP, theta_floor: float = 5.0,
     shared — the key structure exploited by the batched solver: one
     ``(N, N) @ (N, B)`` MXU matmul updates the whole batch.
     """
-    p = _prec(precision)
-    dot = lambda a, b: jnp.matmul(a, b, precision=p)
-
-    GQi = dot(primal.Gp, primal.Qp_inv)                    # (N, M)
-    Qd = dot(GQi, primal.Gp.T)                             # (N, N)
-
-    batched = primal.Fp.ndim == 2
-    Fp = primal.Fp if batched else primal.Fp[:, None]      # (M, B)
-    Fd = dot(GQi, Fp) + primal.Kp[:, None]                 # (N, B)
-    QiF = dot(primal.Qp_inv, Fp)                           # (M, B)
-    Md = jnp.sum(Fp * QiF, axis=0) - primal.Mp             # (B,)
-    if not batched:
-        Fd = Fd[:, 0]
-        Md = Md[0] if Md.ndim else Md
-
-    Qd_pos = jnp.maximum(Qd, 0.0)
-    Qd_neg = jnp.maximum(-Qd, 0.0)
-    theta = jnp.maximum(jnp.sum(Qd_neg, axis=1), theta_floor)   # (N,)
-    eye_theta = jnp.diag(theta)
-    return DualQP(
-        Qd=Qd,
-        Fd=Fd,
-        Md=Md,
-        theta=theta,
-        Qdp_theta=Qd_pos + eye_theta,
-        Qdn_theta=Qd_neg + eye_theta,
-        Fdp=jnp.maximum(Fd, 0.0),
-        Fdn=jnp.maximum(-Fd, 0.0),
-    )
+    geom = dual_geometry(primal.Gp, primal.Qp_inv,
+                         theta_floor=theta_floor, precision=precision)
+    return dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
+                           precision=precision)
 
 
 def dual_geometry(Gp: jax.Array, Qp_inv: jax.Array,

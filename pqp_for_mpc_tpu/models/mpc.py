@@ -184,23 +184,25 @@ class MPCController:
     """
 
     def __init__(self, spec: MPCSpec, cfg: Optional[SolverConfig] = None,
-                 warm_start: bool = True, cold_start_y0: float = 0.01,
+                 warm_start: bool = True,
+                 cold_start_y0: Optional[float] = None,
                  warm_start_floor: float = 1e-6):
         from pqp_for_mpc_tpu.config import MPC_CONFIG
         if cfg is None:
+            # MPC_CONFIG's small cold start (y0=0.01) matters: the
+            # multiplicative update *grows* Y fast (ratio up to
+            # Fd^-/Fd^+) but *decays* it slowly (ratio bounded below by
+            # theta.Y/(theta.Y + Fd^+)), so the reference's Y0=1000
+            # (PQP_CPU.c:710, tuned for its own example/) is
+            # catastrophic here: on a double-integrator MPC QP it needs
+            # ~51k iterations where Y0=0.01 needs 9 — same U*.
             cfg = MPC_CONFIG
         self.spec = spec
         self.warm_start = warm_start
-        # Scale-aware cold start.  The reference hard-codes Y0 = 1000
-        # (PQP_CPU.c:710), tuned for its example/ instance whose optimal
-        # multipliers are O(1e4).  The multiplicative update *grows* Y fast
-        # (ratio up to Fd^-/Fd^+) but *decays* it slowly (ratio bounded
-        # below by theta.Y/(theta.Y + Fd^+)), so starting far above Y* is
-        # catastrophically slow: on a double-integrator MPC QP, Y0=1000
-        # needs ~51k iterations where Y0=0.01 needs 9 — same U*.  Even on
-        # the reference's own example/, Y0=1 converges in 9 iterations vs
-        # its 313.  MPC multipliers are modest, so start small.
-        self.cfg = dataclasses.replace(cfg, y0=cold_start_y0)
+        # An explicitly-passed cfg is honored verbatim; cold_start_y0
+        # overrides only its y0 when given.
+        self.cfg = cfg if cold_start_y0 is None else \
+            dataclasses.replace(cfg, y0=cold_start_y0)
         # Zero is an *absorbing state* of the multiplicative update
         # (Y_i <- Y_i * ratio), so a warm start whose inactive multipliers
         # underflowed to exactly 0 can never re-activate a constraint when
@@ -210,7 +212,13 @@ class MPCController:
         self.warm_start_floor = warm_start_floor
         self.data = condense(spec)
         self.Qp = jnp.linalg.inv(self.data.Qp_inv)
+        # instance-invariant dual geometry (GQi, Qd, theta, splits) is
+        # computed once; per-step solves only rebuild the forcing
+        self._geom = dual_geometry(self.data.Gp, self.data.Qp_inv,
+                                   theta_floor=self.cfg.theta_floor,
+                                   precision=self.cfg.precision)
         self._Y = None
+        self._rollout_fns = {}   # steps -> compiled scan closure
 
     def reset(self):
         self._Y = None
@@ -228,8 +236,8 @@ class MPCController:
             _, Kp = input_constraints(spec)
             data = dataclasses.replace(data, Kp=Kp)
         primal = data.assemble(x=jnp.asarray(x, jnp.float32), D=D, Qp=self.Qp)
-        dual = dualize(primal, theta_floor=self.cfg.theta_floor,
-                       precision=self.cfg.precision)
+        dual = dualize_forcing(self._geom, primal.Fp, primal.Mp, primal.Kp,
+                               precision=self.cfg.precision)
         Y0 = None
         if self.warm_start and self._Y is not None:
             B = primal.Fp.shape[1] if primal.Fp.ndim == 2 else 1
@@ -259,6 +267,15 @@ class MPCController:
         Disturbances and measurement noise are zero (use :meth:`rollout`
         for custom per-step callables).
         """
+        run = self._rollout_fns.get(steps)
+        if run is None:
+            run = self._build_rollout_fn(steps)
+            self._rollout_fns[steps] = run
+        xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
+        return dict(x=np.asarray(xs), u=np.asarray(us),
+                    iters=np.asarray(iters), converged=np.asarray(conv))
+
+    def _build_rollout_fn(self, steps: int):
         spec, data, cfg = self.spec, self.data, self.cfg
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
@@ -267,9 +284,7 @@ class MPCController:
 
         A = jnp.asarray(plant.A, jnp.float32)
         Bm = jnp.asarray(plant.B, jnp.float32)
-        geom = dual_geometry(data.Gp, data.Qp_inv,
-                             theta_floor=cfg.theta_floor,
-                             precision=cfg.precision)
+        geom = self._geom
         # Kp = Kp_base + [0; 0; +e1 u_prev; -e1 u_prev]
         # (input_constraints layout: box rows then +/- slew rows)
         umax = jnp.tile(jnp.asarray(spec.u_max, jnp.float32), H)
@@ -306,9 +321,7 @@ class MPCController:
             _, traj = jax.lax.scan(step, init, None, length=steps)
             return traj
 
-        xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
-        return dict(x=np.asarray(xs), u=np.asarray(us),
-                    iters=np.asarray(iters), converged=np.asarray(conv))
+        return run
 
     def rollout(self, x0, steps: int, d_fn=None, noise=None):
         """Closed-loop simulation for ``steps`` steps (BASELINE config 4).

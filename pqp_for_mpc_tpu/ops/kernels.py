@@ -73,8 +73,8 @@ def fits_vmem(n: int, budget: int = VMEM_BUDGET) -> bool:
     return pick_batch_block(n_pad, _LANE, budget) >= _LANE
 
 
-def _iterate_kernel(num_iters, qdn_ref, qdp_ref, fdn_ref, fdp_ref, y_ref,
-                    out_ref):
+def _iterate_kernel(num_iters, den_eps, qdn_ref, qdp_ref, fdn_ref, fdp_ref,
+                    y_ref, out_ref):
     """num_iters multiplicative updates on one (N, Bblk) panel, all in VMEM."""
     qdn = qdn_ref[:]
     qdp = qdp_ref[:]
@@ -84,23 +84,27 @@ def _iterate_kernel(num_iters, qdn_ref, qdp_ref, fdn_ref, fdp_ref, y_ref,
     def body(_, y):
         num = jnp.dot(qdn, y, preferred_element_type=jnp.float32) + fdn
         den = jnp.dot(qdp, y, preferred_element_type=jnp.float32) + fdp
+        if den_eps:
+            den = jnp.maximum(den, den_eps)
         return (num / den) * y
 
     out_ref[:] = jax.lax.fori_loop(0, num_iters, body, y_ref[:])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_iters", "interpret", "block_b"))
+                   static_argnames=("num_iters", "interpret", "block_b",
+                                    "den_eps"))
 def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
                          Fdn: jax.Array, Fdp: jax.Array, Y: jax.Array,
                          num_iters: int, interpret: bool = False,
-                         block_b: int | None = None) -> jax.Array:
+                         block_b: int | None = None,
+                         den_eps: float = 0.0) -> jax.Array:
     """Run ``num_iters`` PQP updates ``Y <- Y * (Qdn Y + Fdn)/(Qdp Y + Fdp)``
     in one Pallas kernel.  Shapes: matrices ``(N, N)``, panels ``(N, B)``.
 
     Returns the updated ``(N, B)`` Y.  Semantically identical to
     ``num_iters`` calls of :func:`pqp_for_mpc_tpu.solver.pqp_update`
-    (modulo float32 reduction order).
+    with the same ``den_eps`` (modulo float32 reduction order).
     """
     N, B = Y.shape
     n_pad = _round_up(max(N, _SUBLANE), _SUBLANE)
@@ -141,7 +145,7 @@ def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
                               memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_iterate_kernel, num_iters),
+        functools.partial(_iterate_kernel, num_iters, den_eps),
         grid=grid,
         in_specs=[mat_spec, mat_spec, panel_spec, panel_spec, panel_spec],
         out_specs=panel_spec,

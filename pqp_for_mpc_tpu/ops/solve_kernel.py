@@ -331,8 +331,10 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
         accel_every=cfg.accel_every, eaj=cfg.eaj, erj=cfg.erj,
         strict=cfg.strict_weak_duality, den_eps=cfg.den_eps,
         interpret=interpret)
-    feas = feasibility(primal, U, cfg.erc, cfg.eac)
-    Jp, Jd = costs(primal, dual, Y, U)
+    from jax import lax as _lax
+    prec = (_lax.Precision.HIGHEST if cfg.precision == "highest" else None)
+    feas = feasibility(primal, U, cfg.erc, cfg.eac, prec)
+    Jp, Jd = costs(primal, dual, Y, U, prec)
     div = ~jnp.all(jnp.isfinite(Y), axis=0)
     return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)

@@ -69,6 +69,12 @@ def process_local_batch_slice(global_batch: int) -> slice:
     materialize when feeding ``jax.make_array_from_process_local_data``."""
     import jax
 
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{n} processes — pad the batch (silently dropping the "
+            "remainder would under-solve)")
+    per = global_batch // n
     r = jax.process_index()
     return slice(r * per, (r + 1) * per)
