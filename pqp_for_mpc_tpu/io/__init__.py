@@ -1,4 +1,7 @@
-from pqp_for_mpc_tpu.io.example_loader import load_example_dir  # noqa: F401
+from pqp_for_mpc_tpu.io.example_loader import (  # noqa: F401
+    load_example_dir,
+    write_example_dir,
+)
 from pqp_for_mpc_tpu.io.generator import (  # noqa: F401
     GeneratedQP,
     generate_instance,

@@ -60,6 +60,47 @@ def read_vector_file(path: str, n: int, dtype=np.float32) -> np.ndarray:
     return read_matrix_file(path, n, 1, dtype=dtype).reshape(n)
 
 
+def write_matrix_file(path: str, mat: np.ndarray) -> None:
+    """Write a matrix in the reference's file format: the TRANSPOSE of the
+    logical matrix as whitespace-separated floats, terminated by ``#``
+    (the exact inverse of :func:`read_matrix_file`)."""
+    m = np.asarray(mat)
+    if m.ndim == 1:
+        flat = m
+    elif m.shape[0] == 1 or m.shape[1] == 1:
+        flat = m.reshape(-1)
+    else:
+        flat = m.T.reshape(-1)
+    with open(path, "w") as f:
+        f.write(" ".join(f"{v:.6f}" for v in flat) + " #\n")
+
+
+def write_example_dir(path: str, data: CondensedMPCData) -> None:
+    """Export a condensed instance as a reference-format directory — the
+    inverse of :func:`load_example_dir`, so problems condensed by
+    :func:`pqp_for_mpc_tpu.models.condense` can be fed to the original
+    C/CUDA executables (the reference has no writer of its own)."""
+    os.makedirs(path, exist_ok=True)
+    j = lambda name: os.path.join(path, name)
+    w = lambda name, m: write_matrix_file(j(name), np.asarray(m))
+    w("Qp_inv.txt", data.Qp_inv)
+    w("Fp1.txt", data.Fp1)
+    w("Fp2.txt", data.Fp2)
+    w("Fp3.txt", data.Fp3)
+    w("Mp1.txt", data.Mp1)
+    w("Mp2.txt", data.Mp2)
+    w("Mp3.txt", data.Mp3)
+    w("Mp4.txt", data.Mp4)
+    w("Mp5.txt", data.Mp5)
+    w("Mp6.txt", np.atleast_1d(data.Mp6))
+    w("Gp.txt", data.Gp)
+    w("Kp.txt", data.Kp)
+    w("Z.txt", data.Z)
+    w("Theta.txt", data.ThetaOut)
+    w("x.txt", data.x)
+    w("D.txt", data.D)
+
+
 def load_example_dir(path: str, dims: Dict[str, int] | None = None,
                      dtype=np.float32) -> CondensedMPCData:
     """Load a full condensed-MPC instance from a reference-format directory.

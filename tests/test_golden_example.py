@@ -112,6 +112,23 @@ def test_small_cold_start_matches_golden(example_data):
     assert int(res.iters) <= 40
 
 
+def test_example_dir_roundtrip(example_data, tmp_path):
+    """write_example_dir -> load_example_dir is the identity (format
+    interop: condensed problems can be exported for the original
+    executables)."""
+    from pqp_for_mpc_tpu.io import load_example_dir, write_example_dir
+    import dataclasses
+
+    p = str(tmp_path / "exported")
+    write_example_dir(p, example_data)
+    back = load_example_dir(p)
+    for f in dataclasses.fields(type(example_data)):
+        a = np.asarray(getattr(example_data, f.name))
+        b = np.asarray(getattr(back, f.name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-5,
+                                   err_msg=f.name)
+
+
 def test_dual_structure(example_data):
     import jax.numpy as jnp
     import numpy as np
