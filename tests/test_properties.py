@@ -1,0 +1,97 @@
+"""Algorithmic property tests (SURVEY.md §4's implied test plan: gap
+decrease, nonnegativity invariant, feasibility at termination)."""
+
+import numpy as np
+import pytest
+
+
+def _random_problem(M, N, B, seed):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import dualize
+    from pqp_for_mpc_tpu.problem import PrimalQP
+
+    rng = np.random.default_rng(seed)
+    L = rng.standard_normal((M, M)).astype(np.float32)
+    Qp = L @ L.T + M * np.eye(M, dtype=np.float32)
+    primal = PrimalQP(
+        Qp=jnp.asarray(Qp),
+        Qp_inv=jnp.asarray(np.linalg.inv(Qp).astype(np.float32)),
+        Fp=jnp.asarray(rng.standard_normal((M, B)).astype(np.float32) * 5),
+        Mp=jnp.asarray(rng.standard_normal(B).astype(np.float32)),
+        Gp=jnp.asarray(rng.integers(-1, 2, (N, M)).astype(np.float32)),
+        Kp=jnp.asarray(rng.uniform(1.0, 10.0, N).astype(np.float32)))
+    return primal, dualize(primal)
+
+
+def _dual_cost(dual, Y):
+    Qd = np.asarray(dual.Qd)
+    Fd = np.asarray(dual.Fd)
+    Yn = np.asarray(Y, np.float64)
+    return 0.5 * np.einsum("ib,ij,jb->b", Yn, Qd.astype(np.float64), Yn) \
+        + (Fd.astype(np.float64)[:, :, ] * Yn).sum(0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multiplicative_update_decreases_dual_cost(seed):
+    """Di Cairano-Brand guarantee: each update does not increase the dual
+    objective (checked in float64 against float32 iterates)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.solver import pqp_update
+
+    primal, dual = _random_problem(10, 24, 8, seed)
+    Y = jnp.full((24, 8), 5.0, jnp.float32)
+    prev = _dual_cost(dual, Y)
+    for _ in range(50):
+        Y = pqp_update(dual, Y, den_eps=1e-30)
+        cur = _dual_cost(dual, Y)
+        assert np.all(cur <= prev + 1e-3 * np.maximum(1.0, np.abs(prev)))
+        prev = cur
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_iterates_stay_nonnegative(seed):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.solver import accel_step, pqp_update
+
+    primal, dual = _random_problem(8, 20, 4, seed)
+    Y = jnp.full((20, 4), 2.0, jnp.float32)
+    done = jnp.zeros(4, bool)
+    for i in range(40):
+        Y = pqp_update(dual, Y, den_eps=1e-30)
+        if i % 4 == 3:
+            Y = accel_step(dual, Y, done)
+        assert np.all(np.asarray(Y) >= 0.0)
+
+
+def test_feasible_at_termination():
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched
+
+    primal, dual = _random_problem(10, 24, 16, 5)
+    cfg = SolverConfig(max_iters=50_000, check_every=4,
+                       strict_weak_duality=False)
+    res = solve_batched(primal, dual, cfg=cfg)
+    conv = np.asarray(res.converged)
+    assert np.asarray(res.feasible)[conv].all()
+    # converged lanes satisfy Gp U <= Kp + slack explicitly
+    GpU = np.asarray(primal.Gp) @ np.asarray(res.U)
+    slack = np.asarray(primal.Kp) + np.maximum(
+        cfg.erc * np.asarray(primal.Kp), cfg.eac)
+    assert np.all(GpU[:, conv] <= slack[:, None] + 1e-7)
+
+
+def test_accel_never_increases_dual_cost():
+    """The safeguard makes the acceleration step monotone by
+    construction; verify over many random states."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.solver import accel_step
+
+    primal, dual = _random_problem(10, 24, 8, 7)
+    rng = np.random.default_rng(11)
+    done = jnp.zeros(8, bool)
+    for _ in range(10):
+        Y = jnp.asarray(np.abs(rng.standard_normal((24, 8))).astype(
+            np.float32) * rng.uniform(0.01, 100))
+        before = _dual_cost(dual, Y)
+        after = _dual_cost(dual, accel_step(dual, Y, done))
+        assert np.all(after <= before + 1e-2 * np.maximum(1.0,
+                                                          np.abs(before)))
