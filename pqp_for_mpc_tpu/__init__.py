@@ -30,3 +30,4 @@ from pqp_for_mpc_tpu.problem import PrimalQP, DualQP, CondensedMPCData  # noqa: 
 from pqp_for_mpc_tpu.config import SolverConfig  # noqa: F401
 from pqp_for_mpc_tpu.dual import dualize  # noqa: F401
 from pqp_for_mpc_tpu.solver import solve, solve_batched, SolveResult  # noqa: F401
+from pqp_for_mpc_tpu.diff import solve_qp_implicit  # noqa: F401
