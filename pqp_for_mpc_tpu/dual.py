@@ -75,9 +75,10 @@ def dualize_forcing(geom: dict, Fp: jax.Array, Mp: jax.Array,
     :func:`dual_geometry`.  ``Fp`` may be ``(M,)`` or ``(M, B)``;
     ``Mp`` scalar or ``(B,)``."""
     p = _prec(precision)
-    batched = Fp.ndim == 2
-    Fp2 = Fp if batched else Fp[:, None]
-    Fd = jnp.matmul(geom["GQi"], Fp2, precision=p) + Kp[:, None]
+    batched = Fp.ndim == 2 or Kp.ndim == 2
+    Fp2 = Fp if Fp.ndim == 2 else Fp[:, None]
+    Kp2 = Kp if Kp.ndim == 2 else Kp[:, None]
+    Fd = jnp.matmul(geom["GQi"], Fp2, precision=p) + Kp2
     QiF = jnp.matmul(geom["Qp_inv"], Fp2, precision=p)
     Md = jnp.sum(Fp2 * QiF, axis=0) - Mp
     if not batched:

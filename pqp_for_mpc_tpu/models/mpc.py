@@ -52,6 +52,11 @@ class MPCSpec:
     u_max: np.ndarray         # (nu,)
     du_max: np.ndarray        # (nu,) slew-rate bound
     u_prev: Optional[np.ndarray] = None  # previous input for rate rows
+    # Optional output (state) constraints y_min <= y_k <= y_max over the
+    # horizon — beyond the reference's input-only constraint surface.
+    # Their condensed bounds depend on (x, D): Kp = Kp0 + Kx x + Kd D.
+    y_min: Optional[np.ndarray] = None   # (ny,)
+    y_max: Optional[np.ndarray] = None   # (ny,)
 
 
 def prediction_matrices(plant: LinearPlant, H: int):
@@ -160,6 +165,28 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     Mp6 = 4.0 * rbar @ (Qbar @ rbar)                             # ()
 
     Gp, Kp = input_constraints(spec)
+    Kx = Kd = None
+    if spec.y_min is not None or spec.y_max is not None:
+        # Output constraints: y = CSu U + CSx x + CSd D, so
+        #   CSu U <= ymax - CSx x - CSd D     (rows with Kx = -CSx)
+        #  -CSu U <= -ymin + CSx x + CSd D    (rows with Kx = +CSx)
+        # Constraint bounds become state-dependent: Kp(x, D) =
+        # Kp0 + Kx x + Kd D, handled by CondensedMPCData.assemble.
+        big = np.float32(1e6)  # one-sided bounds stay inert
+        ymax = (np.full(ny, big, np.float32) if spec.y_max is None
+                else np.asarray(spec.y_max, np.float32))
+        ymin = (np.full(ny, -big, np.float32) if spec.y_min is None
+                else np.asarray(spec.y_min, np.float32))
+        rows_u = CSu
+        Gp = jnp.concatenate([Gp, rows_u, -rows_u], axis=0)
+        Kp = jnp.concatenate([
+            Kp, jnp.tile(jnp.asarray(ymax), H),
+            -jnp.tile(jnp.asarray(ymin), H)])
+        Zx = jnp.zeros((4 * M, ns), jnp.float32)
+        Zd = jnp.zeros((4 * M, H * nd), jnp.float32)
+        Kx = jnp.concatenate([Zx, -CSx, CSx], axis=0)
+        Kd = jnp.concatenate([Zd, -CSd, CSd], axis=0)
+
     Qp_inv = jnp.linalg.inv(Qp)
 
     return CondensedMPCData(
@@ -167,7 +194,8 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         Mp1=Mp1, Mp2=Mp2, Mp3=Mp3, Mp4=Mp4, Mp5=Mp5, Mp6=Mp6,
         Gp=Gp, Kp=Kp,
         Z=jnp.asarray(plant.C), ThetaOut=jnp.zeros((ny, nd), jnp.float32),
-        x=jnp.zeros(ns, jnp.float32), D=jnp.zeros(H * nd, jnp.float32))
+        x=jnp.zeros(ns, jnp.float32), D=jnp.zeros(H * nd, jnp.float32),
+        Kx=Kx, Kd=Kd)
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +260,14 @@ class MPCController:
              else jnp.asarray(d_seq, jnp.float32).reshape(-1))
         data = self.data
         if u_prev is not None:
-            spec = dataclasses.replace(self.spec, u_prev=np.asarray(u_prev))
-            _, Kp = input_constraints(spec)
+            # u_prev enters only the slew-row bounds additively
+            # (input_constraints layout: [box+, box-, slew+, slew-]);
+            # an additive update preserves any output-constraint rows
+            # appended after them.
+            M = H * nu
+            up = jnp.asarray(u_prev, jnp.float32).reshape(-1)
+            e1u = jnp.zeros(M, jnp.float32).at[:nu].set(up)
+            Kp = data.Kp.at[2 * M:3 * M].add(e1u).at[3 * M:4 * M].add(-e1u)
             data = dataclasses.replace(data, Kp=Kp)
         primal = data.assemble(x=jnp.asarray(x, jnp.float32), D=D, Qp=self.Qp)
         dual = dualize_forcing(self._geom, primal.Fp, primal.Mp, primal.Kp,
@@ -280,32 +314,27 @@ class MPCController:
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
         M = H * nu
-        N = 4 * M
 
         A = jnp.asarray(plant.A, jnp.float32)
         Bm = jnp.asarray(plant.B, jnp.float32)
         geom = self._geom
-        # Kp = Kp_base + [0; 0; +e1 u_prev; -e1 u_prev]
-        # (input_constraints layout: box rows then +/- slew rows)
-        umax = jnp.tile(jnp.asarray(spec.u_max, jnp.float32), H)
-        umin = jnp.tile(jnp.asarray(spec.u_min, jnp.float32), H)
-        dmax = jnp.tile(jnp.asarray(spec.du_max, jnp.float32), H)
-        Kp_base = jnp.concatenate([umax, -umin, dmax, dmax])
+        N = data.n_con
         D0 = jnp.zeros(H * nd, jnp.float32)
         Qp = self.Qp
         floor = self.warm_start_floor
 
         def kp_of(u_prev):
+            # additive u_prev on the slew rows of the base Kp (keeps any
+            # output-constraint rows appended after the 4M input rows)
             e1u = jnp.zeros(M, jnp.float32).at[:nu].set(u_prev)
-            z = jnp.zeros(2 * M, jnp.float32)
-            return Kp_base + jnp.concatenate([z, e1u, -e1u])
+            return data.Kp.at[2 * M:3 * M].add(e1u) \
+                          .at[3 * M:4 * M].add(-e1u)
 
         def step(carry, _):
             x, u_prev, Y = carry
-            Kp = kp_of(u_prev)
-            primal = dataclasses.replace(
-                data.assemble(x=x, D=D0, Qp=Qp), Kp=Kp)
-            dual = dualize_forcing(geom, primal.Fp, primal.Mp, Kp,
+            d2 = dataclasses.replace(data, Kp=kp_of(u_prev))
+            primal = d2.assemble(x=x, D=D0, Qp=Qp)
+            dual = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
                                    cfg.precision)
             res = solve_batched(primal, dual,
                                 Y0=jnp.maximum(Y, floor), cfg=cfg)

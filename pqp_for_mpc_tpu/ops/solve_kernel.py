@@ -306,6 +306,10 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     cfg = cfg or SolverConfig()
     if dual.Qd.ndim != 2:
         raise ValueError("solve_fused requires shared Qd geometry")
+    if primal.Kp.ndim != 1:
+        raise ValueError("solve_fused requires instance-shared Kp (the "
+                         "in-kernel feasibility slack is one column); "
+                         "use solve_batched for state-dependent bounds")
     N = dual.n_con
     Fd2 = _as2d(dual.Fd)
     B = Fd2.shape[1]

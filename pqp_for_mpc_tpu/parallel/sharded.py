@@ -96,6 +96,9 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
         Y0 = jnp.full((N, B), cfg.y0, jnp.float32)
     if N % mp or B % dp:
         raise ValueError(f"N={N} % model={mp} or B={B} % data={dp} != 0")
+    if primal.Kp.ndim != 1:
+        raise ValueError("solve_row_sharded requires instance-shared Kp; "
+                         "use solve_batched for state-dependent bounds")
 
     Fp2 = _as2d(primal.Fp)
     if Fp2.shape[1] == 1 and B > 1:

@@ -60,7 +60,9 @@ class PrimalQP:
     Fp: jax.Array       # (M,) or (M, B)
     Mp: jax.Array       # () or (B,)
     Gp: jax.Array       # (N, M)
-    Kp: jax.Array       # (N,)
+    Kp: jax.Array       # (N,) or (N, B) — batched when constraint bounds
+                        # depend on the instance (e.g. output constraints
+                        # whose slack depends on x)
 
     @property
     def n_var(self) -> int:
@@ -132,6 +134,11 @@ class CondensedMPCData:
     ThetaOut: jax.Array  # (nOutput, nDis)   — kept for file-format parity
     x: jax.Array       # (nState,)
     D: jax.Array       # (nDis,)
+    # Optional state-dependent constraint bounds (output constraints —
+    # beyond the reference, whose Kp is constant):
+    #   Kp(x, D) = Kp + Kx x + Kd D
+    Kx: Optional[jax.Array] = None   # (N, nState)
+    Kd: Optional[jax.Array] = None   # (N, H*nDis)
 
     @property
     def n_var(self) -> int:
@@ -184,8 +191,14 @@ class CondensedMPCData:
 
         if Qp is None:
             Qp = jnp.linalg.inv(self.Qp_inv)
+        Kp = self.Kp
+        if self.Kx is not None:
+            Kp = (Kp[:, None] + dot(self.Kx, xc)
+                  + (dot(self.Kd, Dc) if self.Kd is not None else 0.0))
+            if not batched:
+                Kp = Kp[:, 0]
         if not batched:
             Fp = Fp[:, 0]
             Mp = Mp[0]
         return PrimalQP(Qp=Qp, Qp_inv=self.Qp_inv, Fp=Fp, Mp=Mp,
-                        Gp=self.Gp, Kp=self.Kp)
+                        Gp=self.Gp, Kp=Kp)

@@ -165,10 +165,11 @@ def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
                 precision=None) -> jax.Array:
     """Elementwise-all feasibility with the reference's slack
     ``Kp + max(erc*Kp, eac)`` (compare, PQP_CPU.c:334-343 — note: no |Kp|,
-    faithfully kept).  Returns (B,) bool."""
+    faithfully kept).  ``Kp`` may be ``(N,)`` or per-instance ``(N, B)``.
+    Returns (B,) bool."""
     GpU = jnp.matmul(primal.Gp, U, precision=precision)
     slack = primal.Kp + jnp.maximum(erc * primal.Kp, eac)
-    return jnp.all(GpU <= slack[:, None], axis=0)
+    return jnp.all(GpU <= _as2d(slack), axis=0)
 
 
 def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,

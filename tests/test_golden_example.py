@@ -123,6 +123,9 @@ def test_example_dir_roundtrip(example_data, tmp_path):
     write_example_dir(p, example_data)
     back = load_example_dir(p)
     for f in dataclasses.fields(type(example_data)):
+        if getattr(example_data, f.name) is None:   # optional Kx/Kd
+            assert getattr(back, f.name) is None
+            continue
         a = np.asarray(getattr(example_data, f.name))
         b = np.asarray(getattr(back, f.name))
         np.testing.assert_allclose(b, a, rtol=0, atol=5e-5,

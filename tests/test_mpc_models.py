@@ -166,6 +166,65 @@ def test_scaled_condensed_mpc_horizon50():
     assert bool(np.asarray(res.feasible).all())
 
 
+def test_output_constraints_condensation_math():
+    """Kp(x, D) = Kp0 + Kx x + Kd D must equal the bound computed from
+    the explicit prediction: CSu U <= ymax - CSx x - CSd D."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.models import ZOO, condense
+    from pqp_for_mpc_tpu.models.mpc import prediction_matrices
+
+    plant = ZOO["double_integrator"]()
+    spec = _spec(plant, H=4)
+    spec = dc.replace(spec, y_min=np.array([-0.8], np.float32),
+                      y_max=np.array([1.2], np.float32))
+    data = condense(spec)
+    H, nu, ny = 4, plant.n_input, plant.n_output
+    M = H * nu
+    assert data.Gp.shape == (4 * M + 2 * H * ny, M)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
+    D = rng.uniform(-1, 1, H * plant.n_dist).astype(np.float32)
+    primal = data.assemble(x=jnp.asarray(x), D=jnp.asarray(D),
+                           Qp=jnp.linalg.inv(data.Qp_inv))
+    # explicit bound for the upper-output rows
+    Sx, Su, Sd = prediction_matrices(plant, H)
+    Cs = np.kron(np.eye(H, dtype=np.float32), np.asarray(plant.C))
+    c = Cs @ (np.asarray(Sx) @ x + np.asarray(Sd) @ D)
+    upper = np.tile([1.2], H) - c
+    lower = -(np.tile([-0.8], H)) + c
+    got = np.asarray(primal.Kp)
+    np.testing.assert_allclose(got[4 * M:4 * M + H * ny], upper, atol=1e-4)
+    np.testing.assert_allclose(got[4 * M + H * ny:], lower, atol=1e-4)
+
+
+def test_output_constrained_closed_loop_respects_bounds():
+    """Closed loop with an output ceiling: position must not exceed it
+    (beyond small solver tolerance), while an unconstrained run would."""
+    import dataclasses as dc
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    base = MPCSpec(
+        plant=plant, horizon=16,
+        Qy=np.eye(1, dtype=np.float32), R=0.02 * np.eye(1, dtype=np.float32),
+        r=np.ones(1, np.float32) * 1.5,          # reference ABOVE the cap
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    capped = dc.replace(base, y_max=np.array([1.0], np.float32),
+                        y_min=np.array([-2.0], np.float32))
+
+    free = MPCController(base).rollout(np.array([0.0, 0.0], np.float32),
+                                       steps=40)
+    assert free["x"][:, 0].max() > 1.2           # tracks 1.5, crosses cap
+
+    ctrl = MPCController(capped)
+    out = ctrl.rollout(np.array([0.0, 0.0], np.float32), steps=40)
+    assert out["x"][:, 0].max() <= 1.0 + 5e-2
+    # still pushes toward the cap rather than stalling at 0
+    assert out["x"][-1, 0] > 0.8
+
+
 def test_accel_step_escapes_absorbing_zero():
     """Y_i = 0 is an absorbing state of the multiplicative update; the
     projected-gradient acceleration must be able to leave it when the
