@@ -166,6 +166,25 @@ def test_scaled_condensed_mpc_horizon50():
     assert bool(np.asarray(res.feasible).all())
 
 
+def test_shifted_warm_start_reduces_iterations():
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    spec = MPCSpec(
+        plant=plant, horizon=16,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    plain = MPCController(spec, warm_start=True).rollout(
+        np.array([2.0, 0.0], np.float32), steps=25)
+    shifted = MPCController(spec, warm_start="shift").rollout(
+        np.array([2.0, 0.0], np.float32), steps=25)
+    assert abs(shifted["x"][-1][0]) < 0.3
+    assert (shifted["iters"][1:].mean()
+            <= 1.05 * plain["iters"][1:].mean())
+
+
 def test_output_constraints_condensation_math():
     """Kp(x, D) = Kp0 + Kx x + Kd D must equal the bound computed from
     the explicit prediction: CSu U <= ymax - CSx x - CSd D."""
