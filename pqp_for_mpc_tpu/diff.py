@@ -86,8 +86,13 @@ def _bwd(cfg, active_tol, saved, gU):
     active = (Y > active_tol).astype(Qp.dtype)
     K = _kkt_matrix(Qp, Gp, active)
     rhs = jnp.concatenate([gU, jnp.zeros(Gp.shape[0], Qp.dtype)])
-    # K is not symmetric in general sign convention; solve with K'.
-    z = jnp.linalg.solve(K.T, rhs)
+    # Least-squares (min-norm) solve: the active rows of Gp can be
+    # linearly dependent at degenerate vertices (e.g. a box bound and a
+    # slew bound active simultaneously), making K singular — a plain
+    # solve then poisons the whole gradient with NaN.  The min-norm
+    # solution is the standard regularized choice at such points.
+    ridge = 1e-6 * jnp.eye(K.shape[0], dtype=K.dtype)
+    z = jnp.linalg.solve(K @ K.T + ridge, K @ rhs)
     dU = z[:M]
     dlam = z[M:] * active          # only active multipliers move
     yA = Y * active

@@ -34,6 +34,49 @@ def test_forward_matches_solver():
     assert np.all(np.asarray(Gp @ U) <= np.asarray(Kp) + 1e-4)
 
 
+def test_gradient_through_scan_rollout():
+    """Gradients flow through a closed-loop lax.scan containing the
+    implicit-diff solve (verified vs finite differences)."""
+    import jax
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.diff import solve_qp_implicit
+    from pqp_for_mpc_tpu.models import MPCSpec, condense, double_integrator
+
+    plant = double_integrator()
+    H = 6
+    spec = MPCSpec(
+        plant=plant, horizon=H,
+        Qy=np.eye(1, dtype=np.float32), R=np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=-np.ones(1, np.float32), u_max=np.ones(1, np.float32),
+        du_max=np.ones(1, np.float32))
+    data = condense(spec)
+    Qp0 = jnp.linalg.inv(data.Qp_inv)
+    A = jnp.asarray(plant.A)
+    Bm = jnp.asarray(plant.B)
+    cfg = _cfg()
+
+    def loss(log_r):
+        Qp = Qp0 + 2.0 * (jnp.exp(log_r) - 1.0) * jnp.eye(H, jnp.float32)
+
+        def step(x, _):
+            primal = data.assemble(x=x, D=jnp.zeros(H, jnp.float32), Qp=Qp)
+            U = solve_qp_implicit(Qp, primal.Fp, primal.Gp, primal.Kp, cfg)
+            xn = A @ x + Bm @ U[:1]
+            return xn, xn[0] ** 2 + 0.4 * U[0] ** 2
+
+        _, cs = jax.lax.scan(step, jnp.asarray([1.5, 0.0], jnp.float32),
+                             None, length=8)
+        return jnp.sum(cs)
+
+    for lr in (-2.0, 0.0):
+        an = float(jax.grad(loss)(jnp.asarray(lr)))
+        eps = 1e-2
+        fd = (float(loss(jnp.asarray(lr + eps)))
+              - float(loss(jnp.asarray(lr - eps)))) / (2 * eps)
+        assert abs(an - fd) <= 5e-2 * max(1.0, abs(fd)), (lr, an, fd)
+
+
 @pytest.mark.parametrize("wrt", ["Fp", "Kp", "Qp", "Gp"])
 def test_gradients_match_finite_differences(wrt):
     import jax
