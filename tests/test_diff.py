@@ -57,7 +57,8 @@ def test_gradient_through_scan_rollout():
     cfg = _cfg()
 
     def loss(log_r):
-        Qp = Qp0 + 2.0 * (jnp.exp(log_r) - 1.0) * jnp.eye(H, jnp.float32)
+        Qp = Qp0 + 2.0 * (jnp.exp(log_r) - 1.0) * jnp.eye(
+            H, dtype=jnp.float32)
 
         def step(x, _):
             primal = data.assemble(x=x, D=jnp.zeros(H, jnp.float32), Qp=Qp)
