@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fence_timer(fn, fence, repeats):
-    fn()                                  # compile/warm
+    fence(fn())                           # compile/warm, fully drained
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()

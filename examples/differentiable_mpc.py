@@ -25,16 +25,17 @@ def main():
                        eaj=1e-5, erj=1e-6)
     u_target = -0.6
 
+    spec = MPCSpec(
+        plant=plant, horizon=H,
+        Qy=np.eye(1, dtype=np.float32),
+        R=np.eye(1, dtype=np.float32),   # placeholder, replaced below
+        r=np.zeros(1, np.float32),
+        u_min=-np.ones(1, np.float32), u_max=np.ones(1, np.float32),
+        du_max=np.ones(1, np.float32))
+    data = condense(spec)                # hoisted: independent of log_r
+    Qp0 = jnp.linalg.inv(data.Qp_inv)
+
     def first_input(log_r):
-        spec = MPCSpec(
-            plant=plant, horizon=H,
-            Qy=np.eye(1, dtype=np.float32),
-            R=np.eye(1, dtype=np.float32),   # placeholder, replaced below
-            r=np.zeros(1, np.float32),
-            u_min=-np.ones(1, np.float32), u_max=np.ones(1, np.float32),
-            du_max=np.ones(1, np.float32))
-        data = condense(spec)
-        Qp0 = jnp.linalg.inv(data.Qp_inv)
         # Qp = 2(S'QS + R I): adjust the R part differentiably
         r_w = jnp.exp(log_r)
         Qp = Qp0 + 2.0 * (r_w - 1.0) * jnp.eye(H, dtype=jnp.float32)

@@ -65,12 +65,7 @@ def write_matrix_file(path: str, mat: np.ndarray) -> None:
     logical matrix as whitespace-separated floats, terminated by ``#``
     (the exact inverse of :func:`read_matrix_file`)."""
     m = np.asarray(mat)
-    if m.ndim == 1:
-        flat = m
-    elif m.shape[0] == 1 or m.shape[1] == 1:
-        flat = m.reshape(-1)
-    else:
-        flat = m.T.reshape(-1)
+    flat = m if m.ndim == 1 else m.T.reshape(-1)
     with open(path, "w") as f:
         f.write(" ".join(f"{v:.6f}" for v in flat) + " #\n")
 
@@ -79,7 +74,16 @@ def write_example_dir(path: str, data: CondensedMPCData) -> None:
     """Export a condensed instance as a reference-format directory — the
     inverse of :func:`load_example_dir`, so problems condensed by
     :func:`pqp_for_mpc_tpu.models.condense` can be fed to the original
-    C/CUDA executables (the reference has no writer of its own)."""
+    C/CUDA executables (the reference has no writer of its own).
+
+    Output-constrained problems (``Kx``/``Kd`` set) cannot be expressed
+    in the reference's constant-Kp format — exporting one would silently
+    change its feasible set, so it is an error."""
+    if getattr(data, "Kx", None) is not None:
+        raise ValueError(
+            "cannot export an output-constrained problem: the reference "
+            "format has constant Kp, but this instance's bounds depend "
+            "on (x, D) via Kx/Kd")
     os.makedirs(path, exist_ok=True)
     j = lambda name: os.path.join(path, name)
     w = lambda name, m: write_matrix_file(j(name), np.asarray(m))

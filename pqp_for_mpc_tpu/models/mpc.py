@@ -240,6 +240,9 @@ class MPCController:
         # stalls on an infeasible U.  Floor the carried multipliers at a
         # tiny positive value; growth back to O(1) is geometric and fast.
         self.warm_start_floor = warm_start_floor
+        self._u_base = (jnp.zeros(spec.plant.n_input, jnp.float32)
+                        if spec.u_prev is None
+                        else jnp.asarray(spec.u_prev, jnp.float32))
         self.data = condense(spec)
         self.Qp = jnp.linalg.inv(self.data.Qp_inv)
         # instance-invariant dual geometry (GQi, Qd, theta, splits) is
@@ -296,9 +299,10 @@ class MPCController:
             # u_prev enters only the slew-row bounds additively
             # (input_constraints layout: [box+, box-, slew+, slew-]);
             # an additive update preserves any output-constraint rows
-            # appended after them.
+            # appended after them.  data.Kp already carries spec.u_prev
+            # (the base), so apply only the DELTA from it.
             M = H * nu
-            up = jnp.asarray(u_prev, jnp.float32).reshape(-1)
+            up = jnp.asarray(u_prev, jnp.float32).reshape(-1) - self._u_base
             e1u = jnp.zeros(M, jnp.float32).at[:nu].set(up)
             Kp = data.Kp.at[2 * M:3 * M].add(e1u).at[3 * M:4 * M].add(-e1u)
             data = dataclasses.replace(data, Kp=Kp)
@@ -358,10 +362,15 @@ class MPCController:
         Qp = self.Qp
         floor = self.warm_start_floor
 
+        u_base = self._u_base
+        warm_mode = self.warm_start
+        Y_cold = jnp.full((N, 1), cfg.y0, jnp.float32)
+
         def kp_of(u_prev):
-            # additive u_prev on the slew rows of the base Kp (keeps any
-            # output-constraint rows appended after the 4M input rows)
-            e1u = jnp.zeros(M, jnp.float32).at[:nu].set(u_prev)
+            # additive u_prev DELTA on the slew rows of the base Kp
+            # (which already carries spec.u_prev); keeps any output-
+            # constraint rows appended after the 4M input rows
+            e1u = jnp.zeros(M, jnp.float32).at[:nu].set(u_prev - u_base)
             return data.Kp.at[2 * M:3 * M].add(e1u) \
                           .at[3 * M:4 * M].add(-e1u)
 
@@ -375,8 +384,15 @@ class MPCController:
                                 Y0=jnp.maximum(Y, floor), cfg=cfg)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
-            return (xn, u0, res.Y), (xn, u0, res.iters[0],
-                                     res.converged[0])
+            # next-step warm start honors the controller's mode
+            if warm_mode == "shift":
+                Yn = self._shift_multipliers(res.Y)
+            elif warm_mode:
+                Yn = res.Y
+            else:
+                Yn = Y_cold
+            return (xn, u0, Yn), (xn, u0, res.iters[0],
+                                  res.converged[0])
 
         @jax.jit
         def run(x0):

@@ -166,6 +166,59 @@ def test_scaled_condensed_mpc_horizon50():
     assert bool(np.asarray(res.feasible).all())
 
 
+def test_u_prev_delta_not_double_counted():
+    """A spec built with a base u_prev must not add the runtime u_prev on
+    top of it: the stage-0 slew bound is du_max +/- u_prev exactly."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    spec = MPCSpec(
+        plant=plant, horizon=4,
+        Qy=np.eye(1, dtype=np.float32), R=0.1 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=-np.ones(1, np.float32), u_max=np.ones(1, np.float32),
+        du_max=np.array([0.5], np.float32),
+        u_prev=np.array([0.4], np.float32))     # baked-in base
+    ctrl = MPCController(spec)
+    M = 4
+    # access the Kp the solve actually uses via the same delta path
+    up = jnp.asarray([0.3], jnp.float32) - ctrl._u_base
+    e1u = jnp.zeros(M, jnp.float32).at[:1].set(up)
+    Kp = ctrl.data.Kp.at[2 * M:3 * M].add(e1u).at[3 * M:4 * M].add(-e1u)
+    # slew+ row 0: du_max + u_prev_runtime = 0.5 + 0.3
+    assert abs(float(Kp[2 * M]) - 0.8) < 1e-6
+    # slew- row 0: du_max - u_prev_runtime = 0.5 - 0.3
+    assert abs(float(Kp[3 * M]) - 0.2) < 1e-6
+
+
+def test_rollout_jit_honors_warm_start_modes():
+    """rollout_jit must apply the controller's warm-start mode inside the
+    scan (shift/plain/off give different iteration profiles but the same
+    trajectory)."""
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    spec = MPCSpec(
+        plant=plant, horizon=12,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    outs = {}
+    for mode in (True, False, "shift"):
+        outs[mode] = MPCController(spec, warm_start=mode).rollout_jit(
+            np.array([1.5, 0.0], np.float32), steps=15)
+        assert bool(outs[mode]["converged"].all())
+    np.testing.assert_allclose(outs[True]["u"], outs[False]["u"], atol=5e-3)
+    np.testing.assert_allclose(outs[True]["u"], outs["shift"]["u"],
+                               atol=5e-3)
+    # cold restarts shouldn't be cheaper than warm starts overall
+    assert (outs[True]["iters"][1:].mean()
+            <= outs[False]["iters"][1:].mean() + 8)
+
+
 def test_shifted_warm_start_reduces_iterations():
     from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
 
