@@ -240,6 +240,86 @@ def cmd_rollout(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """JSON-lines solver daemon: one request per stdin line, one result
+    per stdout line.  Keeps the process (and its jit caches) alive so
+    repeat solves of same-shaped problems skip compilation entirely.
+
+    Request forms:
+      {"example_dir": PATH, "x": [...]?, "batch_x": [[...], ...]?}
+      {"generator_file": PATH}
+      {"cmd": "quit"}
+    Reply: {"iters": ..., "converged": ..., "Jp": ..., "U": [...]} or
+    {"error": "..."}.
+    """
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.dual import dual_geometry, dualize_forcing
+    from pqp_for_mpc_tpu.io import load_example_dir
+    from pqp_for_mpc_tpu.io.generator import (read_generator_file,
+                                              to_primal_arrays)
+    from pqp_for_mpc_tpu.problem import PrimalQP
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    cfg = _build_solver_cfg(args)
+    cache: dict = {}
+
+    def solve_example(req):
+        path = req["example_dir"]
+        entry = cache.get(path)
+        if entry is None:
+            data = load_example_dir(path)
+            Qp = jnp.linalg.inv(data.Qp_inv)
+            geom = dual_geometry(data.Gp, data.Qp_inv,
+                                 theta_floor=cfg.theta_floor,
+                                 precision=cfg.precision)
+            entry = cache[path] = (data, Qp, geom)
+        data, Qp, geom = entry
+        if "batch_x" in req:
+            x = jnp.asarray(np.asarray(req["batch_x"], np.float32).T)
+        elif "x" in req:
+            x = jnp.asarray(np.asarray(req["x"], np.float32))
+        else:
+            x = None
+        primal = data.assemble(x=x, Qp=Qp)
+        dual = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
+                               precision=cfg.precision)
+        return primal, solve_batched(primal, dual, cfg=cfg)
+
+    def solve_generator(req):
+        inst = read_generator_file(req["generator_file"])
+        qp, qpi, fp, mp, gp, kp = to_primal_arrays(inst)
+        primal = PrimalQP(Qp=jnp.asarray(qp), Qp_inv=jnp.asarray(qpi),
+                          Fp=jnp.asarray(fp), Mp=jnp.asarray(mp),
+                          Gp=jnp.asarray(gp), Kp=jnp.asarray(kp))
+        from pqp_for_mpc_tpu.dual import dualize
+        dual = dualize(primal, theta_floor=cfg.theta_floor,
+                       precision=cfg.precision)
+        return primal, solve_batched(primal, dual, cfg=cfg)
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "quit":
+                break
+            if "example_dir" in req:
+                primal, res = solve_example(req)
+            elif "generator_file" in req:
+                primal, res = solve_generator(req)
+            else:
+                raise ValueError("request needs example_dir or "
+                                 "generator_file")
+            out = res.stats()
+            out["U"] = np.asarray(res.U).T.tolist()
+            print(json.dumps(out), flush=True)
+        except Exception as e:     # noqa: BLE001 — daemon must not die
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="pqp_for_mpc_tpu",
@@ -290,6 +370,10 @@ def main(argv=None) -> int:
                    help="run the whole closed loop as one lax.scan "
                         "dispatch (no per-step host round-trips)")
     p.set_defaults(fn=cmd_rollout)
+
+    p = sub.add_parser("serve", help="JSON-lines solver daemon on stdio")
+    _add_solver_flags(p)
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     from pqp_for_mpc_tpu.utils.cache import enable_persistent_cache

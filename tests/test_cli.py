@@ -34,6 +34,43 @@ def test_solve_example_dir(example_dir, capsys):
     assert "-6.39" in out
 
 
+def test_serve_daemon(example_dir):
+    import json
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "pqp_for_mpc_tpu", "serve",
+         "--accel-every", "4", "--check-every", "4",
+         "--max-iters", "5000"],
+        cwd=REPO, env=env, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True)
+    try:
+        # one solve shape only — each new shape pays a fresh jit compile
+        # in the subprocess, which dominates suite wall time
+        for req, expect_ok in [
+            ({"example_dir": example_dir}, True),
+            ({"nonsense": True}, False),
+            ({"example_dir": example_dir, "x": [305.0] * 29}, True),
+        ]:
+            p.stdin.write(json.dumps(req) + "\n")
+            p.stdin.flush()
+            rep = json.loads(p.stdout.readline())
+            if expect_ok:
+                assert rep["converged"] == rep["batch"], rep
+            else:
+                assert "error" in rep
+        p.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+        p.stdin.flush()
+        assert p.wait(timeout=120) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+
 def test_rollout_jit_cli(capsys):
     from pqp_for_mpc_tpu.cli import main
 
