@@ -77,7 +77,8 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
 
 def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
             qpi_ref, fp_ref, fd_ref, fdp_ref, fdn_ref, kps_ref, mp_ref,
-            md_ref, y0_ref, valid_ref, y_out, u_out, it_out, done_out):
+            md_ref, y0_ref, valid_ref, y_out, u_out, it_out, done_out,
+            y_scr, done_scr, it_scr):
     (max_iters, check_every, accel_every, eaj, erj, strict, den_eps) = cfg_tuple
     N, M = nm
     qdn = qdn_ref[:]
@@ -91,8 +92,8 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
     fdp = fdp_ref[:]
     fdn = fdn_ref[:]
     kps = kps_ref[:]          # slack-augmented Kp column (N, 1)
-    mp = mp_ref[:]
-    md = md_ref[:]
+    mp = mp_ref[0:1, :]       # row-replicated (8, B) inputs; use row 0
+    md = md_ref[0:1, :]
 
     f32 = jnp.float32
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
@@ -138,21 +139,30 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
     n_chunks = max(1, check_every // max(accel_every, 1)) \
         if accel_every else 1
 
-    # Mosaic cannot legalize scf.while carries holding padded-layout
-    # vectors (1-row masks, i1 vectors), so the loop state is kept as
-    # full (N, B) natural-tile f32 tensors: ``done`` and ``iters`` are
-    # row-replicated masks/counters.
+    # Mosaic miscompiles scf.while with large vector carries (verified on
+    # v5e: the fori-only update kernel is bit-exact at N=512 while the
+    # same math inside a while with (N, B) carries silently corrupts most
+    # lanes; 1-row and i1 carries don't even legalize).  So ALL vector
+    # state lives in VMEM scratch refs mutated by the body, and the while
+    # carries exactly two f32 scalars (h, unsolved-count).
     NB = y0_ref.shape
     full = lambda row: jnp.broadcast_to(row, NB)       # (1,B) -> (N,B)
 
+    y_scr[:] = y0_ref[:]
+    done_scr[:] = full(valid_ref[0:1, :] == 0.0).astype(f32)
+    it_scr[:] = jnp.zeros(NB, f32)
+
     def body(state):
-        y, done_f, h, iters_f = state
-        done = done_f > 0.0
+        h, _ = state
+        y = y_scr[:]
+        done = done_scr[:] > 0.0
+        iters_f = it_scr[:]
         ok_row, _ = check(y)
         ok = full(ok_row)
         newly = ok & jnp.logical_not(done)
         iters_f = jnp.where(newly, h, iters_f)
         done = done | ok
+        y_prev = y
         if accel_every:
             def chunk(_, yc):
                 yc = lax.fori_loop(
@@ -162,20 +172,31 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
         else:
             y = lax.fori_loop(0, check_every,
                               lambda _, z: one_update(z, done), y)
-        return (y, done.astype(f32), h + f32(check_every), iters_f)
+        # Stall freeze: a lane whose iterate is bit-identical after a
+        # whole block is at a fixed point (e.g. Y underflowed to the
+        # all-zero absorbing state on an interior optimum); if its check
+        # just failed it will fail forever — stop burning iterations.
+        stalled = full(jnp.sum(jnp.abs(y - y_prev), axis=0,
+                               keepdims=True) == 0.0)
+        newly_stalled = stalled & jnp.logical_not(done)
+        iters_f = jnp.where(newly_stalled, h + f32(check_every), iters_f)
+        done = done | stalled
+        y_scr[:] = y
+        done_f = done.astype(f32)
+        done_scr[:] = done_f
+        it_scr[:] = iters_f
+        unsolved = jnp.sum(1.0 - done_f[0:1, :])
+        return (h + f32(check_every), unsolved)
 
     def cond(state):
-        y, done_f, h, iters_f = state
-        return jnp.logical_and(jnp.min(done_f) < 1.0,
-                               h <= f32(max_iters))
+        h, unsolved = state
+        return jnp.logical_and(unsolved > 0.0, h <= f32(max_iters))
 
-    # padded batch lanes start done so they never gate the loop
-    done0 = full(valid_ref[:] == 0.0).astype(f32)
-    it0 = jnp.zeros(NB, f32)
-    y, done_f, h, iters_f = lax.while_loop(
-        cond, body, (y0_ref[:], done0, f32(1.0), it0))
+    h, _ = lax.while_loop(cond, body, (f32(1.0), f32(1.0)))
 
-    done = done_f > 0.0
+    y = y_scr[:]
+    done = done_scr[:] > 0.0
+    iters_f = it_scr[:]
     ok_row, u = check(y)
     ok = full(ok_row)
     newly = ok & jnp.logical_not(done)
@@ -184,8 +205,10 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
     iters_f = jnp.where(done, iters_f, h)
     y_out[:] = y
     u_out[:] = u
-    it_out[:] = iters_f[0:1, :]
-    done_out[:] = done[0:1, :].astype(f32)
+    # 1-row (1, B) outputs hit the same Mosaic pathology; write full
+    # sublane tiles of the row-replicated masks and slice host-side.
+    it_out[:] = iters_f[0:it_out.shape[0], :]
+    done_out[:] = done[0:done_out.shape[0], :].astype(f32)
 
 
 @functools.partial(
@@ -255,10 +278,16 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
     Fdn_p = jnp.pad(Fdn, ((0, dn), (0, db)))
     Kps_p = jnp.pad(Kp_slack.reshape(N, 1), ((0, dn), (0, 0)),
                     constant_values=jnp.inf)
-    Mp_p = jnp.pad(Mp.reshape(1, B), ((0, 0), (0, db)))
-    Md_p = jnp.pad(Md.reshape(1, B), ((0, 0), (0, db)))
+    # row-replicated to full sublane tiles: 1-row VMEM operands hit the
+    # Mosaic odd-layout pathologies at larger N
+    row8 = lambda v: jnp.broadcast_to(
+        jnp.pad(v.reshape(1, B), ((0, 0), (0, db))), (_SUBLANE, b_pad))
+    Mp_p = row8(Mp)
+    Md_p = row8(Md)
     Y0_p = jnp.pad(Y0, ((0, dn), (0, db)), constant_values=1.0)
-    valid = jnp.pad(jnp.ones((1, B), f32), ((0, 0), (0, db)))
+    valid = jnp.broadcast_to(
+        jnp.pad(jnp.ones((1, B), f32), ((0, 0), (0, db))),
+        (_SUBLANE, b_pad))
 
     grid = (b_pad // bb,)
     rep = lambda r, c: pl.BlockSpec((r, c), lambda b: (0, 0),
@@ -274,13 +303,17 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
         in_specs=[rep(n_pad, n_pad), rep(n_pad, n_pad), rep(n_pad, n_pad),
                   rep(n_pad, m_pad), rep(m_pad, m_pad), rep(m_pad, m_pad),
                   panel(m_pad), panel(n_pad), panel(n_pad), panel(n_pad),
-                  rep(n_pad, 1), panel(1), panel(1), panel(n_pad),
-                  panel(1)],
-        out_specs=[panel(n_pad), panel(m_pad), panel(1), panel(1)],
+                  rep(n_pad, 1), panel(_SUBLANE), panel(_SUBLANE),
+                  panel(n_pad), panel(_SUBLANE)],
+        out_specs=[panel(n_pad), panel(m_pad), panel(_SUBLANE),
+                   panel(_SUBLANE)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, b_pad), f32),
                    jax.ShapeDtypeStruct((m_pad, b_pad), f32),
-                   jax.ShapeDtypeStruct((1, b_pad), f32),
-                   jax.ShapeDtypeStruct((1, b_pad), f32)],
+                   jax.ShapeDtypeStruct((_SUBLANE, b_pad), f32),
+                   jax.ShapeDtypeStruct((_SUBLANE, b_pad), f32)],
+        scratch_shapes=[pltpu.VMEM((n_pad, bb), f32),
+                        pltpu.VMEM((n_pad, bb), f32),
+                        pltpu.VMEM((n_pad, bb), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
@@ -340,5 +373,13 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     feas = feasibility(primal, U, cfg.erc, cfg.eac, prec)
     Jp, Jd = costs(primal, dual, Y, U, prec)
     div = ~jnp.all(jnp.isfinite(Y), axis=0)
-    return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
+    # The kernel's done flag also covers stall-frozen lanes (fixed-point
+    # iterates that cannot certify); converged is the exit-state verdict,
+    # same as solve_batched's final check.
+    gap = Jp + Jd
+    fail = (~feas | (gap > cfg.eaj) | (gap / jnp.abs(Jd) > cfg.erj))
+    if cfg.strict_weak_duality:
+        fail = fail | (Jp > -Jd)
+    conv = done & ~fail & ~div
+    return SolveResult(U=U, Y=Y, iters=iters, converged=conv,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
