@@ -110,7 +110,7 @@ class SolverConfig:
 #:   and the loop never exits;
 #: * small cold start + acceleration (see SolverConfig docstrings).
 MPC_CONFIG = SolverConfig(
-    erc=1e-4, eac=1e-4, eaj=1e-4, erj=1e-5,
+    erc=1e-4, eac=1e-4, eaj=1e-4, erj=1e-4,
     y0=0.01, check_every=8, accel_every=4,
     strict_weak_duality=False, max_iters=50_000,
 )

@@ -57,6 +57,11 @@ class MPCSpec:
     # Their condensed bounds depend on (x, D): Kp = Kp0 + Kx x + Kd D.
     y_min: Optional[np.ndarray] = None   # (ny,)
     y_max: Optional[np.ndarray] = None   # (ny,)
+    # Soften the output constraints with nonnegative slacks s and a
+    # quadratic penalty rho*|s|^2: hard output constraints can make the
+    # QP infeasible for reachable states; softened ones always admit a
+    # solution.  None = hard constraints.
+    soft_penalty: Optional[float] = None
 
 
 def prediction_matrices(plant: LinearPlant, H: int):
@@ -178,6 +183,7 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         ymin = (np.full(ny, -big, np.float32) if spec.y_min is None
                 else np.asarray(spec.y_min, np.float32))
         rows_u = CSu
+        n_out = 2 * H * ny
         Gp = jnp.concatenate([Gp, rows_u, -rows_u], axis=0)
         Kp = jnp.concatenate([
             Kp, jnp.tile(jnp.asarray(ymax), H),
@@ -186,6 +192,33 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         Zd = jnp.zeros((4 * M, H * nd), jnp.float32)
         Kx = jnp.concatenate([Zx, -CSx, CSx], axis=0)
         Kd = jnp.concatenate([Zd, -CSd, CSd], axis=0)
+
+        if spec.soft_penalty is not None:
+            # Slack softening: V = [U; s], s >= 0 penalized rho|s|^2.
+            # Output rows become  +/-CSu U - s <= bound  and n_out extra
+            # rows enforce s >= 0 (with zero state dependence).
+            rho = float(spec.soft_penalty)
+            Qp = jnp.block([
+                [Qp, jnp.zeros((M, n_out), jnp.float32)],
+                [jnp.zeros((n_out, M), jnp.float32),
+                 2.0 * rho * jnp.eye(n_out, dtype=jnp.float32)]])
+            zrow = lambda A: jnp.concatenate(
+                [A, jnp.zeros((n_out, A.shape[1]), jnp.float32)], axis=0)
+            Fp1, Fp2 = zrow(Fp1), zrow(Fp2)
+            Fp3 = jnp.concatenate([Fp3, jnp.zeros(n_out, jnp.float32)])
+            slack_cols = jnp.concatenate([
+                jnp.zeros((4 * M, n_out), jnp.float32),
+                -jnp.eye(n_out, dtype=jnp.float32)], axis=0)
+            Gp = jnp.concatenate([
+                jnp.concatenate([Gp, slack_cols], axis=1),
+                jnp.concatenate([jnp.zeros((n_out, M), jnp.float32),
+                                 -jnp.eye(n_out, dtype=jnp.float32)],
+                                axis=1)], axis=0)
+            Kp = jnp.concatenate([Kp, jnp.zeros(n_out, jnp.float32)])
+            Kx = jnp.concatenate(
+                [Kx, jnp.zeros((n_out, ns), jnp.float32)], axis=0)
+            Kd = jnp.concatenate(
+                [Kd, jnp.zeros((n_out, H * nd), jnp.float32)], axis=0)
 
     Qp_inv = jnp.linalg.inv(Qp)
 
@@ -281,7 +314,9 @@ class MPCController:
             segs.append(shift_block(Y2[off:off + H * nu], nu))
             off += H * nu
         if self.data.Kx is not None:
-            for _ in range(2):
+            # 2 output blocks, plus 2 slack-positivity blocks when soft
+            n_blocks = 4 if spec.soft_penalty is not None else 2
+            for _ in range(n_blocks):
                 segs.append(shift_block(Y2[off:off + H * ny], ny))
                 off += H * ny
         out = jnp.concatenate(segs, axis=0)

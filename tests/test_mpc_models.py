@@ -297,6 +297,66 @@ def test_output_constrained_closed_loop_respects_bounds():
     assert out["x"][-1, 0] > 0.8
 
 
+def test_soft_output_constraints_feasible_when_hard_is_not():
+    """A hard output cap below the current output is infeasible for the
+    one-step QP; the softened problem solves and pushes toward the cap
+    with bounded violation ~ 1/rho."""
+    import dataclasses as dc
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    base = MPCSpec(
+        plant=plant, horizon=10,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32),
+        y_max=np.array([0.5], np.float32),
+        y_min=np.array([-2.0], np.float32))
+    # x0 = [2, 1]: position 2 > cap 0.5 and still moving up — with
+    # |u| <= 1 and slew 0.5 the output cap cannot be met for several
+    # steps => the hard QP is infeasible at this state.
+    x0 = np.array([2.0, 1.0], np.float32)
+
+    hard = MPCController(base)
+    _, res_h = hard.step(x0)
+    assert not bool(np.asarray(res_h.converged).all())   # infeasible
+
+    # engineering tolerances: the softened QP's output rows are tight
+    # equalities at the optimum, so 1e-4 absolute feasibility needs far
+    # more dual refinement than any controller cares about
+    from pqp_for_mpc_tpu.config import MPC_CONFIG
+    cfg = dc.replace(MPC_CONFIG, erc=1e-3, eac=1e-3)
+    soft = MPCController(dc.replace(base, soft_penalty=50.0), cfg=cfg)
+    assert soft.data.n_var == 10 + 2 * 10        # U + slacks
+    _, res_s = soft.step(x0)
+    assert bool(np.asarray(res_s.converged).all())
+    u = np.asarray(res_s.U)[:10].ravel()
+    assert np.all(u <= 1.0 + 1e-3)               # input bounds still hard
+    s = np.asarray(res_s.U)[10:].ravel()
+    assert np.all(s >= -1e-4)                    # slacks nonnegative
+    assert s.max() > 0.1                         # actually used
+
+
+def test_soft_matches_hard_when_inactive():
+    """With the cap far away, soft and hard give the same control."""
+    import dataclasses as dc
+    from pqp_for_mpc_tpu.models import MPCSpec, MPCController, double_integrator
+
+    plant = double_integrator()
+    base = MPCSpec(
+        plant=plant, horizon=8,
+        Qy=np.eye(1, dtype=np.float32), R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32), u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32),
+        y_max=np.array([50.0], np.float32), y_min=np.array([-50.0], np.float32))
+    x0 = np.array([1.0, 0.0], np.float32)
+    u_h, _ = MPCController(base).step(x0)
+    u_s, _ = MPCController(dc.replace(base, soft_penalty=100.0)).step(x0)
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_h), atol=5e-3)
+
+
 def test_accel_step_escapes_absorbing_zero():
     """Y_i = 0 is an absorbing state of the multiplicative update; the
     projected-gradient acceleration must be able to leave it when the
