@@ -30,7 +30,9 @@ def main() -> None:
     from pqp_for_mpc_tpu.ops.kernels import fits_vmem
     from pqp_for_mpc_tpu.solver import solve_batched
 
-    B = 65536   # large batch amortizes the ~26 ms tunnel round-trip
+    B = 262144  # large batch amortizes the ~26 ms tunnel round-trip
+                # (pure device rate is ~9M solves/s: 131k extra solves
+                # cost 14.5 ms between the 131k and 262k batch points)
     data = load_example_dir("/root/reference/example")
     rng = np.random.default_rng(0)
     x = np.asarray(data.x, np.float32)[:, None] + rng.normal(
