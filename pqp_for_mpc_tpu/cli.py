@@ -249,8 +249,13 @@ def cmd_serve(args) -> int:
       {"example_dir": PATH, "x": [...]?, "batch_x": [[...], ...]?}
       {"generator_file": PATH}
       {"cmd": "quit"}
-    Reply: {"iters": ..., "converged": ..., "Jp": ..., "U": [...]} or
-    {"error": "..."}.
+    Reply: the solve stats dict plus the solution —
+      {"batch": n, "converged": n_ok, "feasible": n_feas,
+       "iters_mean": ..., "iters_max": ..., "gap_abs_max": ...,
+       "gap_rel_max": ..., "U": [[...] per instance]}
+    or {"error": "..."}.  Problem geometry (and its jit caches) is kept
+    per example_dir for the life of the daemon — files changed on disk
+    after first load are NOT re-read.
     """
     import jax.numpy as jnp
     from pqp_for_mpc_tpu.dual import dual_geometry, dualize_forcing
@@ -283,7 +288,7 @@ def cmd_serve(args) -> int:
         primal = data.assemble(x=x, Qp=Qp)
         dual = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
                                precision=cfg.precision)
-        return primal, solve_batched(primal, dual, cfg=cfg)
+        return solve_batched(primal, dual, cfg=cfg)
 
     def solve_generator(req):
         inst = read_generator_file(req["generator_file"])
@@ -294,7 +299,7 @@ def cmd_serve(args) -> int:
         from pqp_for_mpc_tpu.dual import dualize
         dual = dualize(primal, theta_floor=cfg.theta_floor,
                        precision=cfg.precision)
-        return primal, solve_batched(primal, dual, cfg=cfg)
+        return solve_batched(primal, dual, cfg=cfg)
 
     for line in sys.stdin:
         line = line.strip()
@@ -305,18 +310,21 @@ def cmd_serve(args) -> int:
             if req.get("cmd") == "quit":
                 break
             if "example_dir" in req:
-                primal, res = solve_example(req)
+                res = solve_example(req)
             elif "generator_file" in req:
-                primal, res = solve_generator(req)
+                res = solve_generator(req)
             else:
                 raise ValueError("request needs example_dir or "
                                  "generator_file")
             out = res.stats()
             out["U"] = np.asarray(res.U).T.tolist()
-            print(json.dumps(out), flush=True)
+            reply = json.dumps(out)
         except Exception as e:     # noqa: BLE001 — daemon must not die
-            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
-                  flush=True)
+            reply = json.dumps({"error": f"{type(e).__name__}: {e}"})
+        try:
+            print(reply, flush=True)
+        except (BrokenPipeError, OSError):
+            break                  # client hung up — clean shutdown
     return 0
 
 

@@ -27,9 +27,13 @@ Shapes (all float32):
   Qdn_theta, Qdp_theta, Qd : (N, N)      Gp : (N, M)
   Qp, Qp_inv               : (M, M)
   Fp : (M, B)   Fd, Fdp, Fdn : (N, B)    Kp_slack : (N, 1)
-  Mp, Md : (1, B)                        Y0 : (N, B)
-Outputs:
-  Y, U (via -Qp^-1(Fp+Gp'Y)), iters (1, B) f32, done (1, B) f32 (bool).
+  Mp, Md : (B,)                          Y0 : (N, B)
+Outputs of :func:`fused_full_solve`:
+  Y (N, B), U = -Qp^-1(Fp+Gp'Y) (M, B), iters (B,) int32, and a per-lane
+  f32 STATE CODE (not a bool): 0 = hit max_iters while active,
+  1 = certified by the in-kernel termination test, 2 = stall-frozen at a
+  fixed point without certificate, 3 = batch padding.  Use
+  :func:`solve_fused` unless you want to interpret the codes yourself.
 """
 
 from __future__ import annotations
@@ -50,12 +54,13 @@ from pqp_for_mpc_tpu.ops.kernels import (_LANE, _SUBLANE, _round_up,
 VMEM_OPERAND_BUDGET = 40 * 1024 * 1024
 
 
-#: Cap on the per-grid-step batch block: the whole-solve kernel carries
-#: Y (and masks) through an in-kernel scf.while, so the carry must fit
-#: the vector register budget — large blocks explode the carry (a
-#: (32, 5760) Y alone is 180 vregs and fails Mosaic legalization), and
-#: oversized carries spill.  Swept on v5e at N=28/B=8192:
-#: 512 -> 245k solves/s, 1024 -> 3.23M, 2048 -> 261k, 4096 -> 234k.
+#: Cap on the per-grid-step batch block.  Historical note: the original
+#: design carried Y/masks through the scf.while (large vector carries
+#: fail Mosaic legalization or spill); the sweep on v5e at N=28/B=8192
+#: gave 512 -> 245k solves/s, 1024 -> 3.23M, 2048 -> 261k, 4096 -> 234k.
+#: The state now lives in VMEM scratch with a scalar-only while carry,
+#: but the update-fori's register working set is similar and the swept
+#: optimum still holds empirically.
 MAX_SOLVE_BLOCK_B = 1024
 
 
@@ -65,8 +70,11 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     avail = budget - mats
     if avail <= 0:
         return 0
-    # panels: Fp(M), Fd/Fdp/Fdn/Y/Y-out(N)x5, U-out(M), Mp/Md/iters/done(1)x4
-    per_lane = (2 * m_pad + 5 * n_pad + 4) * 4 * 2   # x2 double-buffer
+    # panels per lane: Fp(M), Fd/Fdp/Fdn/Y0/Y-out(N)x5, U-out(M),
+    # Mp/Md/valid/iters/done 8-row tiles (5x8), plus 3 (N, bb) VMEM
+    # scratch buffers (y/done/iters state)
+    per_lane = (2 * m_pad + 5 * n_pad + 5 * 8) * 4 * 2 \
+        + 3 * n_pad * 4                              # x2 double-buffer
     bb = avail // per_lane
     bb = (bb // _LANE) * _LANE
     # vreg-pressure cap: the while carry holds ~3 (N, bb) f32 tensors at
@@ -385,12 +393,10 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     # reference's notion of convergence, evaluated with the kernel's own
     # arithmetic), OR a stall-frozen fixed point whose exit state passes
     # the XLA-side verdict (rescues razor-edge interior optima).
+    from pqp_for_mpc_tpu.solver import termination_fail
     cert = lane_state == 1.0
     stalled = lane_state == 2.0
-    gap = Jp + Jd
-    fail = (~feas | (gap > cfg.eaj) | (gap / jnp.abs(Jd) > cfg.erj))
-    if cfg.strict_weak_duality:
-        fail = fail | (Jp > -Jd)
+    fail = termination_fail(feas, Jp, Jd, cfg)
     conv = (cert | (stalled & ~fail)) & ~div
     return SolveResult(U=U, Y=Y, iters=iters, converged=conv,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)

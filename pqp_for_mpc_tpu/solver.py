@@ -172,23 +172,33 @@ def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
     return jnp.all(GpU <= _as2d(slack), axis=0)
 
 
-def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
-                    cfg: SolverConfig, precision=None):
-    """The four-part test of ``terminate`` (PQP_CPU.c:673-687), batched.
-
-    Returns (ok, U, feas, Jp, Jd).  Comparisons are written in the
-    reference's negated form (``fail if x > tol``) so NaN propagation
-    matches C semantics (NaN comparisons are false => that test passes).
-    """
-    U = recover_U(primal, Y, precision)
-    feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
-    Jp, Jd = costs(primal, dual, Y, U, precision)
+def termination_fail(feas: jax.Array, Jp: jax.Array, Jd: jax.Array,
+                     cfg: SolverConfig) -> jax.Array:
+    """The four-part verdict of ``terminate`` (PQP_CPU.c:673-687) given
+    precomputed feasibility and costs.  Written in the reference's
+    negated form (``fail if x > tol``) so NaN propagation matches C
+    semantics (NaN comparisons are false => that test passes).  Single
+    source of truth for the XLA check, the sharded check, and the
+    Pallas kernel's exit-verdict rescue."""
     gap = Jp + Jd
     fail = (~feas
             | (gap > cfg.eaj)
             | (gap / jnp.abs(Jd) > cfg.erj))
     if cfg.strict_weak_duality:
         fail = fail | (Jp > -Jd)
+    return fail
+
+
+def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
+                    cfg: SolverConfig, precision=None):
+    """The four-part test of ``terminate`` (PQP_CPU.c:673-687), batched.
+
+    Returns (ok, U, feas, Jp, Jd).
+    """
+    U = recover_U(primal, Y, precision)
+    feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
+    Jp, Jd = costs(primal, dual, Y, U, precision)
+    fail = termination_fail(feas, Jp, Jd, cfg)
     return ~fail, U, feas, Jp, Jd
 
 
