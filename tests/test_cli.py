@@ -41,11 +41,15 @@ def test_serve_daemon(example_dir):
 
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # env vars are ignored when the interpreter pre-imports jax
+    # (sitecustomize pins the hardware platform and the daemon would pay
+    # multi-minute tunnel compiles); force CPU via jax.config instead.
+    boot = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from pqp_for_mpc_tpu.cli import main; "
+            "sys.exit(main(['serve', '--accel-every', '4', "
+            "'--check-every', '4', '--max-iters', '5000']))")
     p = subprocess.Popen(
-        [sys.executable, "-u", "-m", "pqp_for_mpc_tpu", "serve",
-         "--accel-every", "4", "--check-every", "4",
-         "--max-iters", "5000"],
+        [sys.executable, "-u", "-c", boot],
         cwd=REPO, env=env, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True)
     try:
@@ -65,7 +69,8 @@ def test_serve_daemon(example_dir):
                 assert "error" in rep
         p.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
         p.stdin.flush()
-        assert p.wait(timeout=120) == 0
+        # generous: subprocess compile times vary heavily under suite load
+        assert p.wait(timeout=300) == 0
     finally:
         if p.poll() is None:
             p.kill()
