@@ -1,0 +1,47 @@
+"""Smoke tests for the shipped examples (the quick ones; the two
+gradient-descent training examples are exercised manually — they take
+minutes)."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(name, argv):
+    old = sys.argv
+    sys.argv = [name] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, "examples", name),
+                       run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_solve_reference_example(example_dir, capsys):
+    _run("solve_reference_example.py", [example_dir])
+    out = capsys.readouterr().out
+    assert "parity:   313 iters" in out
+    assert "fast:" in out
+
+
+def test_receding_horizon(capsys):
+    _run("receding_horizon.py", ["30"])
+    assert "steps in" in capsys.readouterr().out
+
+
+def test_scenario_batch(capsys):
+    _run("scenario_batch.py", ["64"])
+    assert "solves/s" in capsys.readouterr().out
+
+
+def test_sharded_large_n(capsys):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    _run("sharded_large_n.py", [])
+    out = capsys.readouterr().out
+    assert "'converged': 16" in out
