@@ -240,6 +240,20 @@ def cmd_rollout(args) -> int:
     return 0
 
 
+def _json_sanitize(obj):
+    """Recursively replace non-finite floats with None so the reply is
+    strict JSON (json.dumps would otherwise emit bare NaN/Infinity
+    tokens that non-Python clients reject)."""
+    import math
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    return obj
+
+
 def cmd_serve(args) -> int:
     """JSON-lines solver daemon: one request per stdin line, one result
     per stdout line.  Keeps the process (and its jit caches) alive so
@@ -318,7 +332,11 @@ def cmd_serve(args) -> int:
                                  "generator_file")
             out = res.stats()
             out["U"] = np.asarray(res.U).T.tolist()
-            reply = json.dumps(out)
+            out["diverged"] = int(np.asarray(res.diverged).sum())
+            # strict JSON has no NaN/Infinity tokens; a diverged solve
+            # would otherwise break every non-Python client of the
+            # JSON-lines protocol — map non-finite floats to null.
+            reply = json.dumps(_json_sanitize(out), allow_nan=False)
         except Exception as e:     # noqa: BLE001 — daemon must not die
             reply = json.dumps({"error": f"{type(e).__name__}: {e}"})
         try:

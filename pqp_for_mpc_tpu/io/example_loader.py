@@ -67,7 +67,11 @@ def write_matrix_file(path: str, mat: np.ndarray) -> None:
     m = np.asarray(mat)
     flat = m if m.ndim == 1 else m.T.reshape(-1)
     with open(path, "w") as f:
-        f.write(" ".join(f"{v:.6f}" for v in flat) + " #\n")
+        # significant-digit format, not fixed-point: %.6f would flush
+        # entries below ~5e-7 (stiff/finely-discretized plants) to zero,
+        # silently changing the exported problem.  The reference's
+        # fscanf("%f") accepts scientific notation (PQP_CPU.c:764-773).
+        f.write(" ".join(f"{v:.8g}" for v in flat) + " #\n")
 
 
 def write_example_dir(path: str, data: CondensedMPCData) -> None:

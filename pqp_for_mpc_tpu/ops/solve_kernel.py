@@ -26,8 +26,10 @@ few hundred); tolerances and cadence are compile-time constants.
 Shapes (all float32):
   Qdn_theta, Qdp_theta, Qd : (N, N)      Gp : (N, M)
   Qp, Qp_inv               : (M, M)
-  Fp : (M, B)   Fd, Fdp, Fdn : (N, B)    Kp_slack : (N, 1)
+  Fp : (M, B)   Fd, Fdp, Fdn : (N, B)    Kp_slack : (N, 1) or (N, B)
   Mp, Md : (B,)                          Y0 : (N, B)
+``Kp_slack`` may be per-lane (state-dependent output constraints,
+problem.py Kx/Kd path) — it is streamed as a panel like Fd.
 Outputs of :func:`fused_full_solve`:
   Y (N, B), U = -Qp^-1(Fp+Gp'Y) (M, B), iters (B,) int32, and a per-lane
   f32 STATE CODE (not a bool): 0 = hit max_iters while active,
@@ -70,10 +72,10 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     avail = budget - mats
     if avail <= 0:
         return 0
-    # panels per lane: Fp(M), Fd/Fdp/Fdn/Y0/Y-out(N)x5, U-out(M),
+    # panels per lane: Fp(M), Fd/Fdp/Fdn/Kps/Y0/Y-out(N)x6, U-out(M),
     # Mp/Md/valid/iters/done 8-row tiles (5x8), plus 3 (N, bb) VMEM
     # scratch buffers (y/done/iters state)
-    per_lane = (2 * m_pad + 5 * n_pad + 5 * 8) * 4 * 2 \
+    per_lane = (2 * m_pad + 6 * n_pad + 5 * 8) * 4 * 2 \
         + 3 * n_pad * 4                              # x2 double-buffer
     bb = avail // per_lane
     bb = (bb // _LANE) * _LANE
@@ -99,7 +101,7 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
     fd = fd_ref[:]
     fdp = fdp_ref[:]
     fdn = fdn_ref[:]
-    kps = kps_ref[:]          # slack-augmented Kp column (N, 1)
+    kps = kps_ref[:]          # slack-augmented Kp panel (N, B)
     mp = mp_ref[0:1, :]       # row-replicated (8, B) inputs; use row 0
     md = md_ref[0:1, :]
 
@@ -276,9 +278,9 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
     # Padded dual coordinates: identity diagonal + zero forcing + Y0=1 =>
     # exact fixed point of the update (num=den=1).  They contribute 0 to
     # every reduction because their Fd/Fp/Gp entries are 0 and U padding
-    # follows -Qp^-1*0 = 0.  Padded *batch* lanes get Y0=1, Fd=0 and a
-    # +inf feasibility slack so they converge at the first check and
-    # never gate the while loop.
+    # follows -Qp^-1*0 = 0.  Padded *batch* lanes are pre-marked state 3
+    # via the ``valid`` mask — they never certify and never gate the
+    # while loop's unsolved count.
     Qdn_theta = pad_nn(Qdn_theta)
     Qdp_theta = pad_nn(Qdp_theta)
     Qd_p = pad_nn(Qd, diag=0.0)
@@ -290,8 +292,9 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
     Fd_p = jnp.pad(Fd, ((0, dn), (0, db)))
     Fdp_p = jnp.pad(Fdp, ((0, dn), (0, db)))
     Fdn_p = jnp.pad(Fdn, ((0, dn), (0, db)))
-    Kps_p = jnp.pad(Kp_slack.reshape(N, 1), ((0, dn), (0, 0)),
-                    constant_values=jnp.inf)
+    # Kp slack as a per-lane panel (padded coords/lanes never violate)
+    Kps_p = jnp.pad(jnp.broadcast_to(Kp_slack.reshape(N, -1), (N, B)),
+                    ((0, dn), (0, db)), constant_values=jnp.inf)
     # row-replicated to full sublane tiles: 1-row VMEM operands hit the
     # Mosaic odd-layout pathologies at larger N
     row8 = lambda v: jnp.broadcast_to(
@@ -317,7 +320,7 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
         in_specs=[rep(n_pad, n_pad), rep(n_pad, n_pad), rep(n_pad, n_pad),
                   rep(n_pad, m_pad), rep(m_pad, m_pad), rep(m_pad, m_pad),
                   panel(m_pad), panel(n_pad), panel(n_pad), panel(n_pad),
-                  rep(n_pad, 1), panel(_SUBLANE), panel(_SUBLANE),
+                  panel(n_pad), panel(_SUBLANE), panel(_SUBLANE),
                   panel(n_pad), panel(_SUBLANE)],
         out_specs=[panel(n_pad), panel(m_pad), panel(_SUBLANE),
                    panel(_SUBLANE)],
@@ -354,11 +357,8 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
 
     cfg = cfg or SolverConfig()
     if dual.Qd.ndim != 2:
-        raise ValueError("solve_fused requires shared Qd geometry")
-    if primal.Kp.ndim != 1:
-        raise ValueError("solve_fused requires instance-shared Kp (the "
-                         "in-kernel feasibility slack is one column); "
-                         "use solve_batched for state-dependent bounds")
+        raise ValueError("solve_fused requires shared Qd geometry; use "
+                         "solve_fused_distinct for per-instance Qd")
     N = dual.n_con
     Fd2 = _as2d(dual.Fd)
     B = Fd2.shape[1]
@@ -368,12 +368,20 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
         Y0 = _as2d(Y0)
         if Y0.shape[1] == 1 and B > 1:
             Y0 = jnp.broadcast_to(Y0, (N, B))
+        elif B > 1 and Y0.shape[1] != B:
+            raise ValueError(
+                f"warm start batch {Y0.shape[1]} != instance batch {B}")
         B = max(B, Y0.shape[1])
     Fp2 = jnp.broadcast_to(_as2d(primal.Fp), (primal.Gp.shape[1], B))
     Fd2 = jnp.broadcast_to(Fd2, (N, B))
     Mp2 = jnp.broadcast_to(jnp.atleast_1d(primal.Mp), (B,))
     Md2 = jnp.broadcast_to(jnp.atleast_1d(dual.Md), (B,))
+    # per-lane Kp (state-dependent output bounds) rides the fast path:
+    # the slack threshold is streamed into the kernel as an (N, B) panel
     kp_slack = primal.Kp + jnp.maximum(cfg.erc * primal.Kp, cfg.eac)
+    if kp_slack.ndim == 2 and kp_slack.shape[1] not in (1, B):
+        raise ValueError(
+            f"Kp batch {kp_slack.shape[1]} != instance batch {B}")
 
     Y, U, iters, lane_state = fused_full_solve(
         dual.Qdn_theta, dual.Qdp_theta, dual.Qd, primal.Gp, primal.Qp,

@@ -95,6 +95,14 @@ def _mv(A, Y, precision):
     return jnp.einsum("bij,jb->ib", A, Y, precision=precision)
 
 
+def _mvT(A, Y, precision):
+    """Transposed matrix-vector over the batch:
+    A (N,M) or (B,N,M), Y (N,B) -> A' Y (M,B)."""
+    if A.ndim == 2:
+        return jnp.matmul(A.T, Y, precision=precision)
+    return jnp.einsum("bij,ib->jb", A, Y, precision=precision)
+
+
 def pqp_update(dual: DualQP, Y: jax.Array, precision=None,
                den_eps: float = 0.0) -> jax.Array:
     """One multiplicative update
@@ -149,7 +157,7 @@ def costs(primal: PrimalQP, dual: DualQP, Y: jax.Array, U: jax.Array,
     QdY = _mv(dual.Qd, Y, precision)
     Jd = (0.5 * jnp.sum(Y * QdY, axis=0)
           + jnp.sum(_as2d(dual.Fd) * Y, axis=0) + 0.5 * dual.Md)
-    QpU = jnp.matmul(primal.Qp, U, precision=precision)
+    QpU = _mv(primal.Qp, U, precision)
     Jp = (0.5 * jnp.sum(U * QpU, axis=0)
           + jnp.sum(_as2d(primal.Fp) * U, axis=0) + 0.5 * primal.Mp)
     return Jp, Jd
@@ -157,8 +165,8 @@ def costs(primal: PrimalQP, dual: DualQP, Y: jax.Array, U: jax.Array,
 
 def recover_U(primal: PrimalQP, Y: jax.Array, precision=None) -> jax.Array:
     """``U = -Qp^-1 (Fp + Gp' Y)`` (computeUfromY, PQP_CPU.c:352-360)."""
-    tmp = jnp.matmul(primal.Gp.T, Y, precision=precision) + _as2d(primal.Fp)
-    return -jnp.matmul(primal.Qp_inv, tmp, precision=precision)
+    tmp = _mvT(primal.Gp, Y, precision) + _as2d(primal.Fp)
+    return -_mv(primal.Qp_inv, tmp, precision)
 
 
 def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
@@ -167,7 +175,7 @@ def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
     ``Kp + max(erc*Kp, eac)`` (compare, PQP_CPU.c:334-343 — note: no |Kp|,
     faithfully kept).  ``Kp`` may be ``(N,)`` or per-instance ``(N, B)``.
     Returns (B,) bool."""
-    GpU = jnp.matmul(primal.Gp, U, precision=precision)
+    GpU = _mv(primal.Gp, U, precision)
     slack = primal.Kp + jnp.maximum(erc * primal.Kp, eac)
     return jnp.all(GpU <= _as2d(slack), axis=0)
 
@@ -280,7 +288,9 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
         # update — freeze the lane instead of spinning to max_iters.
         bad = ~jnp.all(jnp.isfinite(Y), axis=0) & ~done
         newly = ok & ~done & ~bad
-        iters = jnp.where(newly, h, iters)
+        # stamp the freeze iteration for bad lanes too, so stats() reports
+        # how long a diverged lane actually ran instead of 0
+        iters = jnp.where(newly | bad, h, iters)
         done = done | ok | bad
         div = div | bad
         Y = run_updates(Y, done)
@@ -296,9 +306,10 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
     # instances that hit max_iters.
     ok, U, feas, Jp, Jd = check_terminate(primal, dual, Y, cfg, prec)
     bad = ~jnp.all(jnp.isfinite(Y), axis=0)
-    div = div | (bad & ~done)
+    newly_bad = bad & ~done
+    div = div | newly_bad
     newly = ok & ~done & ~bad
-    iters = jnp.where(newly, h, iters)
+    iters = jnp.where(newly | newly_bad, h, iters)
     done = done | ok | bad
     iters = jnp.where(done, iters, h)
     return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
@@ -309,7 +320,16 @@ def solve(primal: PrimalQP, dual: Optional[DualQP] = None,
           Y0: Optional[jax.Array] = None,
           cfg: SolverConfig = SolverConfig()) -> SolveResult:
     """Single-instance convenience wrapper: dualizes if needed, solves,
-    and squeezes the batch axis (mirrors main(), PQP_CPU.c:994-999)."""
+    and squeezes the batch axis (mirrors main(), PQP_CPU.c:994-999).
+
+    Rejects batched inputs — use :func:`solve_batched` for those (returning
+    lane 0 silently would be a quiet wrong answer)."""
+    for name, arr in (("Fp", primal.Fp), ("Kp", primal.Kp),
+                      ("Y0", Y0), ("Fd", None if dual is None else dual.Fd)):
+        if arr is not None and arr.ndim == 2 and arr.shape[1] > 1:
+            raise ValueError(
+                f"solve() is single-instance but {name} has batch "
+                f"{arr.shape[1]}; use solve_batched()")
     if dual is None:
         from pqp_for_mpc_tpu.dual import dualize
         dual = dualize(primal, theta_floor=cfg.theta_floor,

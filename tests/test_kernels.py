@@ -87,6 +87,35 @@ def test_full_solve_kernel_with_accel(batched_example):
                                rtol=1e-4, atol=2e-3)
 
 
+def test_full_solve_kernel_per_lane_kp(batched_example):
+    """Per-lane Kp (state-dependent output bounds) rides the whole-solve
+    kernel: the slack threshold is streamed as an (N, B) panel and the
+    result matches solve_batched lane-for-lane (VERDICT r1 item 4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual, B = batched_example
+    rng = np.random.default_rng(7)
+    # vary bounds per lane (keep them >= shared Kp so all lanes stay
+    # feasible; tightened lanes exercise a different active set)
+    Kp_b = (np.asarray(primal.Kp)[:, None]
+            + rng.uniform(0.0, 2.0, (primal.Kp.shape[0], B))
+            .astype(np.float32))
+    primal_b = dataclasses.replace(primal, Kp=jnp.asarray(Kp_b))
+    cfg = SolverConfig(max_iters=5000, check_every=8)
+    ref = solve_batched(primal_b, dual, cfg=cfg)
+    res = solve_fused(primal_b, dual, cfg=cfg, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_full_solve_rejects_oversized_problem():
     import jax.numpy as jnp
     from pqp_for_mpc_tpu.ops.solve_kernel import solve_kernel_batch_block
