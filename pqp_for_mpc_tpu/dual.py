@@ -89,6 +89,40 @@ def dualize_forcing(geom: dict, Fp: jax.Array, Mp: jax.Array,
                   Fdp=jnp.maximum(Fd, 0.0), Fdn=jnp.maximum(-Fd, 0.0))
 
 
+@partial(jax.jit, static_argnames=("theta_floor", "precision"))
+def dualize_distinct(primal: PrimalQP, theta_floor: float = 5.0,
+                     precision: str = "highest") -> DualQP:
+    """:func:`dualize` for a batch of fully distinct instances — the
+    reference's own benchmark workload is exactly this shape (one random
+    geometry per instance, testing/test_generator.c:997-998).
+
+    Conventions: matrices carry a LEADING batch axis (``Qp (B, M, M)``,
+    ``Gp (B, N, M)``), vectors a TRAILING one (``Fp (M, B)``,
+    ``Kp (N, B)`` or shared ``(N,)``) — matching what
+    :func:`pqp_for_mpc_tpu.solver.solve_batched`'s einsum path and the
+    distinct-geometry Pallas kernel consume.
+    """
+    p = _prec(precision)
+    B = primal.Qp.shape[0]
+    N = primal.Gp.shape[1]
+    Fp2 = primal.Fp if primal.Fp.ndim == 2 else \
+        jnp.broadcast_to(primal.Fp[:, None], (primal.Fp.shape[0], B))
+    Kp2 = primal.Kp if primal.Kp.ndim == 2 else primal.Kp[:, None]
+    GQi = jnp.einsum("bnm,bmk->bnk", primal.Gp, primal.Qp_inv, precision=p)
+    Qd = jnp.einsum("bnm,bkm->bnk", GQi, primal.Gp, precision=p)
+    Qd_pos = jnp.maximum(Qd, 0.0)
+    Qd_neg = jnp.maximum(-Qd, 0.0)
+    theta = jnp.maximum(jnp.sum(Qd_neg, axis=2), theta_floor)   # (B, N)
+    eye = jnp.eye(N, dtype=Qd.dtype)
+    Fd = jnp.einsum("bnm,mb->nb", GQi, Fp2, precision=p) + Kp2
+    QiF = jnp.einsum("bmk,kb->mb", primal.Qp_inv, Fp2, precision=p)
+    Md = jnp.sum(Fp2 * QiF, axis=0) - primal.Mp
+    return DualQP(Qd=Qd, Fd=Fd, Md=Md, theta=theta,
+                  Qdp_theta=Qd_pos + theta[:, :, None] * eye,
+                  Qdn_theta=Qd_neg + theta[:, :, None] * eye,
+                  Fdp=jnp.maximum(Fd, 0.0), Fdn=jnp.maximum(-Fd, 0.0))
+
+
 def primal_from_dual(primal: PrimalQP, Y: jax.Array,
                      precision: str = "highest") -> jax.Array:
     """Recover the primal iterate ``U = -Qp^-1 (Fp + Gp' Y)``

@@ -73,17 +73,24 @@ def fits_vmem(n: int, budget: int = VMEM_BUDGET) -> bool:
     return pick_batch_block(n_pad, _LANE, budget) >= _LANE
 
 
-def _iterate_kernel(num_iters, den_eps, qdn_ref, qdp_ref, fdn_ref, fdp_ref,
-                    y_ref, out_ref):
+def _iterate_kernel(num_iters, den_eps, precision, qdn_ref, qdp_ref,
+                    fdn_ref, fdp_ref, y_ref, out_ref):
     """num_iters multiplicative updates on one (N, Bblk) panel, all in VMEM."""
     qdn = qdn_ref[:]
     qdp = qdp_ref[:]
     fdn = fdn_ref[:]
     fdp = fdp_ref[:]
+    # "highest" forces full-f32 MXU passes; the default bf16 passes are
+    # fine on well-conditioned problems (the golden example converges
+    # identically) but diverge on ill-conditioned random instances —
+    # see distinct_kernel.py for the v5e measurement.
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
 
     def body(_, y):
-        num = jnp.dot(qdn, y, preferred_element_type=jnp.float32) + fdn
-        den = jnp.dot(qdp, y, preferred_element_type=jnp.float32) + fdp
+        num = jnp.dot(qdn, y, preferred_element_type=jnp.float32,
+                      precision=prec) + fdn
+        den = jnp.dot(qdp, y, preferred_element_type=jnp.float32,
+                      precision=prec) + fdp
         if den_eps:
             den = jnp.maximum(den, den_eps)
         return (num / den) * y
@@ -93,12 +100,13 @@ def _iterate_kernel(num_iters, den_eps, qdn_ref, qdp_ref, fdn_ref, fdp_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_iters", "interpret", "block_b",
-                                    "den_eps"))
+                                    "den_eps", "precision"))
 def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
                          Fdn: jax.Array, Fdp: jax.Array, Y: jax.Array,
                          num_iters: int, interpret: bool = False,
                          block_b: int | None = None,
-                         den_eps: float = 0.0) -> jax.Array:
+                         den_eps: float = 0.0,
+                         precision: str = "highest") -> jax.Array:
     """Run ``num_iters`` PQP updates ``Y <- Y * (Qdn Y + Fdn)/(Qdp Y + Fdp)``
     in one Pallas kernel.  Shapes: matrices ``(N, N)``, panels ``(N, B)``.
 
@@ -145,7 +153,7 @@ def fused_pqp_iterations(Qdn_theta: jax.Array, Qdp_theta: jax.Array,
                               memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_iterate_kernel, num_iters, den_eps),
+        functools.partial(_iterate_kernel, num_iters, den_eps, precision),
         grid=grid,
         in_specs=[mat_spec, mat_spec, panel_spec, panel_spec, panel_spec],
         out_specs=panel_spec,

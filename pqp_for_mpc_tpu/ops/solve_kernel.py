@@ -89,7 +89,8 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
             qpi_ref, fp_ref, fd_ref, fdp_ref, fdn_ref, kps_ref, mp_ref,
             md_ref, y0_ref, valid_ref, y_out, u_out, it_out, done_out,
             y_scr, done_scr, it_scr):
-    (max_iters, check_every, accel_every, eaj, erj, strict, den_eps) = cfg_tuple
+    (max_iters, check_every, accel_every, eaj, erj, strict, den_eps,
+     precision) = cfg_tuple
     N, M = nm
     qdn = qdn_ref[:]
     qdp = qdp_ref[:]
@@ -106,7 +107,11 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
     md = md_ref[0:1, :]
 
     f32 = jnp.float32
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    # precision choice: see distinct_kernel.py — default bf16 MXU passes
+    # are fine on well-conditioned problems, "highest" forces f32 passes
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32,
+                               precision=prec)
 
     def one_update(y, done):
         num = dot(qdn, y) + fdn
@@ -230,13 +235,14 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "check_every", "accel_every",
                               "eaj", "erj", "strict", "den_eps",
-                              "interpret", "block_b"))
+                              "precision", "interpret", "block_b"))
 def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                      Fp, Fd, Fdp, Fdn, Kp_slack, Mp, Md, Y0,
                      *, max_iters: int, check_every: int,
                      accel_every: int = 0, eaj: float = 1e-6,
                      erj: float = 1e-6, strict: bool = True,
-                     den_eps: float = 1e-30, interpret: bool = False,
+                     den_eps: float = 1e-30, precision: str = "highest",
+                     interpret: bool = False,
                      block_b: int | None = None):
     """Run the full batched PQP solve in one Pallas launch.
 
@@ -313,7 +319,7 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                                    memory_space=pltpu.VMEM)
 
     cfg_tuple = (max_iters, check_every, accel_every, eaj, erj, strict,
-                 den_eps)
+                 den_eps, precision)
     y, u, iters, done = pl.pallas_call(
         functools.partial(_kernel, cfg_tuple, (n_pad, m_pad)),
         grid=grid,
@@ -391,7 +397,7 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
         max_iters=cfg.max_iters, check_every=cfg.check_every,
         accel_every=cfg.accel_every, eaj=cfg.eaj, erj=cfg.erj,
         strict=cfg.strict_weak_duality, den_eps=cfg.den_eps,
-        interpret=interpret)
+        precision=cfg.precision, interpret=interpret)
     from jax import lax as _lax
     prec = (_lax.Precision.HIGHEST if cfg.precision == "highest" else None)
     feas = feasibility(primal, U, cfg.erc, cfg.eac, prec)

@@ -256,7 +256,8 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
                 dual.Qdn_theta, dual.Qdp_theta,
                 jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
                 jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
-                Y, num_iters=n, den_eps=cfg.den_eps)
+                Y, num_iters=n, den_eps=cfg.den_eps,
+                precision=cfg.precision)
             return jnp.where(done[None, :], Y, Ynew)
 
         def body(_, Yc):
