@@ -16,3 +16,11 @@ from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401
     input_constraints,
     prediction_matrices,
 )
+from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401
+    StagewiseDual,
+    StagewiseFactor,
+    kkt_solve,
+    riccati_factor,
+    solve_stagewise,
+    stagewise_dual,
+)
