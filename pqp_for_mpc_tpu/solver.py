@@ -249,15 +249,29 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
     use_pallas = cfg.use_pallas and dual.Qd.ndim == 2
     if use_pallas:
         from pqp_for_mpc_tpu.ops import kernels as _kernels
+        # beyond VMEM residency (N ≈ 1800) the update kernel streams the
+        # Hessian from HBM slab-by-slab — half the HBM traffic of the XLA
+        # path (tiled_kernel.py module docstring)
+        pallas_tiled = not _kernels.fits_vmem(N)
+        if pallas_tiled:
+            from pqp_for_mpc_tpu.ops import tiled_kernel as _tiled
 
     def run_mult_updates(Y, done, n):
         if use_pallas:
-            Ynew = _kernels.fused_pqp_iterations(
-                dual.Qdn_theta, dual.Qdp_theta,
-                jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
-                jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
-                Y, num_iters=n, den_eps=cfg.den_eps,
-                precision=cfg.precision)
+            if pallas_tiled:
+                Ynew = _tiled.fused_pqp_iterations_tiled(
+                    dual.Qd, dual.theta,
+                    jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
+                    jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
+                    Y, num_iters=n, den_eps=cfg.den_eps,
+                    precision=cfg.precision)
+            else:
+                Ynew = _kernels.fused_pqp_iterations(
+                    dual.Qdn_theta, dual.Qdp_theta,
+                    jnp.broadcast_to(_as2d(dual.Fdn), (N, B)),
+                    jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
+                    Y, num_iters=n, den_eps=cfg.den_eps,
+                    precision=cfg.precision)
             return jnp.where(done[None, :], Y, Ynew)
 
         def body(_, Yc):
