@@ -409,8 +409,14 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     # the XLA-side verdict (rescues razor-edge interior optima).
     from pqp_for_mpc_tpu.solver import termination_fail
     cert = lane_state == 1.0
-    stalled = lane_state == 2.0
     fail = termination_fail(feas, Jp, Jd, cfg)
-    conv = (cert | (stalled & ~fail)) & ~div
+    # Any UNcertified lane (stall-frozen OR max_iters-exhausted) whose
+    # exit state passes the XLA-side verdict counts as converged — the
+    # same semantics as solve_batched's final check_terminate after its
+    # while loop.  Without the max_iters half, a lane whose slightly
+    # different Mosaic trajectory certifies just past the budget is
+    # reported unconverged even though its iterate is at the solution
+    # (measured: 5-10/128 lanes at N>=512, benchmarks/CONFORMANCE_r2.json).
+    conv = (cert | ~fail) & ~div
     return SolveResult(U=U, Y=Y, iters=iters, converged=conv,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
