@@ -30,16 +30,19 @@ def main() -> None:
     from pqp_for_mpc_tpu.ops.kernels import fits_vmem
     from pqp_for_mpc_tpu.solver import solve_batched
 
-    B = 262144  # large batch amortizes the ~26 ms tunnel round-trip
-                # (pure device rate is ~9M solves/s: 131k extra solves
-                # cost 14.5 ms between the 131k and 262k batch points)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # Large batch amortizes the ~26 ms tunnel round-trip toward the
+    # ~9.2M solves/s device-side rate (measured: 262k -> 4.82M,
+    # 1M -> 7.19M, 2M -> 7.99M, 4M -> 8.41M solves/s at check_every=8 /
+    # mean 313 iters; the device kernel is VPU-bound, DESIGN.md §3).
+    # CPU (no whole-solve kernel) keeps the smaller batch.
+    B = 4194304 if on_tpu else 262144
     data = load_example_dir("/root/reference/example")
     rng = np.random.default_rng(0)
     x = np.asarray(data.x, np.float32)[:, None] + rng.normal(
         0, 0.5, (data.x.shape[0], B)).astype(np.float32)
     primal = data.assemble(x=jnp.asarray(x), Qp=jnp.linalg.inv(data.Qp_inv))
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     cfg = SolverConfig(max_iters=5000, check_every=8, y0=1000.0,
                        use_pallas=on_tpu and fits_vmem(28),
                        precision="default" if on_tpu else "highest")
