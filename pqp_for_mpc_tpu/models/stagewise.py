@@ -35,6 +35,17 @@ iteration by never materializing Qp, Qp^-1 or Qd:
 Cross-checks: matches the condensed solver's U* on the same MPCSpec
 (tests/test_stagewise.py) at H <= 50; scales to H = 512 with memory
 linear in H.
+
+**Temporal parallelization** (``pscan``): every stage recursion here
+(Riccati backward adjoint, forward rollout, forcing adjoint) is a
+composition of affine maps ``x -> M_k x + c_k``, and affine composition
+is associative — so each depth-H ``lax.scan`` has an equivalent
+O(log H)-depth ``lax.associative_scan`` (Sarkka & Garcia-Fernandez,
+"Temporal parallelization of dynamic programming and linear quadratic
+control", IEEE TAC 2021).  On TPU this converts the per-PQP-iteration
+KKT solve from 2H latency-bound tiny-matmul steps into ~log2(H) rounds
+of batched ``(H, ns, ns)`` einsums that ride the MXU.
+``solve_stagewise(pscan=None)`` auto-enables it at H >= 64.
 """
 
 from __future__ import annotations
@@ -120,11 +131,67 @@ def riccati_factor(spec: MPCSpec) -> StagewiseFactor:
                            ny=C.shape[0])
 
 
+def _affine_cumulative(Ms: jax.Array, cs: jax.Array, precision=None):
+    """Inclusive :func:`lax.associative_scan` of affine maps
+    ``x -> M_i x + c_i`` along axis 0: position ``i`` holds the
+    composition of steps ``0..i`` (step 0 applied first).
+
+    This is the temporal-parallelization primitive (Sarkka &
+    Garcia-Fernandez, IEEE TAC 2021: LQR/Kalman recursions are
+    compositions of affine maps, and affine-map composition is
+    associative): a depth-H sequential recursion becomes log2(H)
+    rounds of batched ``(H, n, n)`` einsums — MXU-friendly instead of
+    latency-bound.  ``Ms (H, n, n)``, ``cs (H, n, B)``."""
+    def comb(a, b):
+        Ma, ca = a
+        Mb, cb = b
+        M = jnp.einsum("...ij,...jk->...ik", Mb, Ma, precision=precision)
+        c = jnp.einsum("...ij,...jb->...ib", Mb, ca,
+                       precision=precision) + cb
+        return (M, c)
+    return lax.associative_scan(comb, (Ms, cs))
+
+
+def _carry_in(ccum: jax.Array) -> jax.Array:
+    """Exclusive-from-inclusive for a zero initial carry: the carry each
+    step SEES is the previous step's cumulative value."""
+    return jnp.concatenate([jnp.zeros_like(ccum[:1]), ccum[:-1]], axis=0)
+
+
 def kkt_solve(f: StagewiseFactor, v: jax.Array,
-              precision=lax.Precision.HIGHEST) -> jax.Array:
+              precision=lax.Precision.HIGHEST,
+              pscan: bool = False) -> jax.Array:
     """``u = Qp^-1 v`` via the Riccati factor: minimize
-    ``1/2 u'Qp u - v'u`` (dynamics from x0 = 0).  v, u: (H, nu, B)."""
+    ``1/2 u'Qp u - v'u`` (dynamics from x0 = 0).  v, u: (H, nu, B).
+
+    ``pscan=True`` replaces the two depth-H sequential scans with
+    O(log H)-depth associative scans over the SAME affine recursions
+    (backward: ``p_j = A'(I - W_j B') p_{j+1} + A' W_j v_j``; forward:
+    ``x_{k+1} = (A - B K_k) x_k + B kff_k``) — identical math, float32
+    association order differs.  This is the hot-loop transform for long
+    horizons: one PQP iteration calls this once, and at H = 512 the
+    sequential version is 1024 latency-bound tiny-matmul steps.
+    """
     A, B = f.A, f.Bm
+
+    if pscan:
+        prec = precision
+        eye = jnp.eye(f.ns, dtype=v.dtype)
+        WBt = jnp.einsum("hij,kj->hik", f.W, B, precision=prec)
+        Mb = jnp.einsum("ij,hjk->hik", A.T, eye - WBt, precision=prec)
+        Wv = jnp.einsum("hij,hjb->hib", f.W, v, precision=prec)
+        cb = jnp.einsum("ij,hjb->hib", A.T, Wv, precision=prec)
+        _, crev = _affine_cumulative(Mb[::-1], cb[::-1], prec)
+        p_in = _carry_in(crev)[::-1]                 # p_{j+1} at stage j
+        t = jnp.einsum("ji,hjb->hib", B, p_in, precision=prec) - v
+        kff = -jnp.einsum("hij,hjb->hib", f.Hinv, t, precision=prec)
+        Mf = A[None] - jnp.einsum("ij,hjk->hik", B, f.K, precision=prec)
+        cf = jnp.einsum("ij,hjb->hib", B, kff, precision=prec)
+        _, cx = _affine_cumulative(Mf, cf, prec)
+        x_in = _carry_in(cx)                         # x_k at stage k
+        return -jnp.einsum("hij,hjb->hib", f.K, x_in,
+                           precision=prec) + kff
+
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
 
     def back(p, inp):
@@ -153,18 +220,27 @@ def kkt_solve(f: StagewiseFactor, v: jax.Array,
 
 def rollout_states(f: StagewiseFactor, x0: jax.Array, u: jax.Array,
                    dseq: Optional[jax.Array] = None,
-                   precision=lax.Precision.HIGHEST) -> jax.Array:
+                   precision=lax.Precision.HIGHEST,
+                   pscan: bool = False) -> jax.Array:
     """States x_1..x_H from x0 under inputs u (H, nu, B): (H, ns, B)."""
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
+    B_ = u.shape[-1]
+    if dseq is None:
+        dseq = jnp.zeros((f.H, f.E.shape[1], B_), u.dtype)
+
+    if pscan:
+        cs = (jnp.einsum("ij,hjb->hib", f.Bm, u, precision=precision)
+              + jnp.einsum("ij,hjb->hib", f.E, dseq, precision=precision))
+        Ms = jnp.broadcast_to(f.A, (f.H, f.ns, f.ns))
+        Mcum, ccum = _affine_cumulative(Ms, cs, precision)
+        return jnp.einsum("hij,jb->hib", Mcum, x0,
+                          precision=precision) + ccum
 
     def step(x, inp):
         uk, dk = inp
         x_new = mm(f.A, x) + mm(f.Bm, uk) + mm(f.E, dk)
         return x_new, x_new
 
-    B_ = u.shape[-1]
-    if dseq is None:
-        dseq = jnp.zeros((f.H, f.E.shape[1], B_), u.dtype)
     _, xs = lax.scan(step, x0, (u, dseq))
     return xs
 
@@ -209,8 +285,8 @@ def _unflat(Y, H, nu):
     return Y.reshape(4, H, nu, Y.shape[-1])
 
 
-def stagewise_dual(spec: MPCSpec,
-                   theta_floor: float = 5.0) -> StagewiseDual:
+def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
+                   pscan: bool = False) -> StagewiseDual:
     """Build the matrix-free dual geometry: Riccati factor, the radii
     ``r_i = sqrt((G Qp^-1 G')_ii)`` (one batched kkt_solve over all
     distinct constraint vectors), and theta from the exact rowsum of the
@@ -233,7 +309,7 @@ def stagewise_dual(spec: MPCSpec,
     diff = eye - jnp.concatenate(
         [eye[1:], jnp.zeros_like(eye[:1])], axis=0)  # (H, nu, M)
     G_all = jnp.concatenate([eye, diff], axis=-1)    # (H, nu, 2M)
-    Z = kkt_solve(f, G_all)                          # (H, nu, 2M)
+    Z = kkt_solve(f, G_all, pscan=pscan)             # (H, nu, 2M)
     # r^2 = g' Qp^-1 g
     flat_g = G_all.reshape(M, 2 * M)
     flat_z = Z.reshape(M, 2 * M)
@@ -245,7 +321,8 @@ def stagewise_dual(spec: MPCSpec,
     # theta_i = max(rowsum(N)_i, floor),
     # rowsum(N) = (r_i * sum(r) - (Qd 1)_i) / 2, matrix-free.
     ones = jnp.ones((4, H, nu, 1), jnp.float32)
-    qd1 = _g_apply(kkt_solve(f, _gt_apply(ones)))[..., 0]  # (4, H, nu)
+    qd1 = _g_apply(kkt_solve(f, _gt_apply(ones),
+                             pscan=pscan))[..., 0]   # (4, H, nu)
     rowsum_N = 0.5 * (r_vec * jnp.sum(r_vec) - qd1)
     theta = jnp.maximum(rowsum_N, theta_floor)
 
@@ -260,7 +337,7 @@ def stagewise_dual(spec: MPCSpec,
                          n_con=4 * M)
 
 
-def _forcing(dual: StagewiseDual, x0, dseq, prec):
+def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
     """Per-instance forcing: Fp (H, nu, B), Mp (B,), Fd splits, Md.
 
     Fp_k = B' mu_{k+1} with the adjoint recursion
@@ -272,7 +349,7 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec):
     mm = lambda a, b: jnp.matmul(a, b, precision=prec)
     B_ = x0.shape[-1]
     zeros_u = jnp.zeros((f.H, f.nu, B_), jnp.float32)
-    xbar = rollout_states(f, x0, zeros_u, dseq, prec)      # (H, ns, B)
+    xbar = rollout_states(f, x0, zeros_u, dseq, prec, pscan)  # (H, ns, B)
     # outputs per stage: (H, ny, B)
     ybar = jax.vmap(lambda x: mm(f.C, x))(xbar)
     e = ybar - f.r[None, :, None]
@@ -282,28 +359,37 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec):
     Qe = 2.0 * jax.vmap(lambda v: mm(f.Qy, v))(e)          # (H, ny, B)
     Mp = jnp.sum(e * Qe, axis=(0, 1))                      # (B,)
 
-    def adj(mu, inp):
-        # scanning j = H..1 with mu = mu_{j+1}; Fp_{j-1} = B' mu_j, so
-        # update mu FIRST, then emit
-        Qe_k = inp
-        mu_new = mm(f.C.T, Qe_k) + mm(f.A.T, mu)
-        return mu_new, mm(f.Bm.T, mu_new)
+    if pscan:
+        # mu_new = A' mu + C' Qe_k, emitted AFTER the update: the
+        # inclusive cumulative IS mu_new at every (reversed) stage
+        cs = jnp.einsum("ji,hjb->hib", f.C, Qe[::-1], precision=prec)
+        Ms = jnp.broadcast_to(f.A.T, (f.H, f.ns, f.ns))
+        _, mu = _affine_cumulative(Ms, cs, prec)
+        Fp = jnp.einsum("ji,hjb->hib", f.Bm, mu, precision=prec)[::-1]
+    else:
+        def adj(mu, inp):
+            # scanning j = H..1 with mu = mu_{j+1}; Fp_{j-1} = B' mu_j,
+            # so update mu FIRST, then emit
+            Qe_k = inp
+            mu_new = mm(f.C.T, Qe_k) + mm(f.A.T, mu)
+            return mu_new, mm(f.Bm.T, mu_new)
 
-    mu0 = jnp.zeros((f.ns, B_), jnp.float32)
-    _, Fp_rev = lax.scan(adj, mu0, Qe[::-1])
-    Fp = Fp_rev[::-1]                                      # (H, nu, B)
+        mu0 = jnp.zeros((f.ns, B_), jnp.float32)
+        _, Fp_rev = lax.scan(adj, mu0, Qe[::-1])
+        Fp = Fp_rev[::-1]                                  # (H, nu, B)
 
-    QiF = kkt_solve(f, Fp, prec)
+    QiF = kkt_solve(f, Fp, prec, pscan)
     Md = jnp.sum(Fp * QiF, axis=(0, 1)) - Mp               # (B,)
     Fd = _flat(dual.Kp[..., None] + _g_apply(QiF))         # (N, B)
     return Fp, Mp, Fd, Md
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "pscan"))
 def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
                     dseq: Optional[jax.Array] = None,
                     Y0: Optional[jax.Array] = None,
-                    cfg: SolverConfig = SolverConfig()) -> SolveResult:
+                    cfg: SolverConfig = SolverConfig(),
+                    pscan: Optional[bool] = None) -> SolveResult:
     """Run the PQP dual iteration matrix-free over a batch of initial
     states.  ``x0``: (ns,) or (ns, B); ``dseq``: optional (H, nd, B).
     Returns a :class:`SolveResult` with ``U (H*nu, B)``, ``Y (N, B)``.
@@ -311,15 +397,21 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
     Semantics mirror :func:`pqp_for_mpc_tpu.solver.solve_batched` (same
     four-part terminate, masked lanes, divergence freeze); only the
     linear algebra is implicit.
+
+    ``pscan`` selects the temporal-parallel (associative-scan) KKT
+    recursions; ``None`` = auto (on for H >= 64, where the depth-H
+    sequential scans dominate the iteration latency).
     """
     f = dual.factor
     H, nu = f.H, f.nu
+    if pscan is None:
+        pscan = H >= 64
     prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
     x0 = x0 if x0.ndim == 2 else x0[:, None]
     B = x0.shape[1]
     N = dual.n_con
 
-    Fp, Mp, Fd, Md = _forcing(dual, x0, dseq, prec)
+    Fp, Mp, Fd, Md = _forcing(dual, x0, dseq, prec, pscan)
     Fdp = jnp.maximum(Fd, 0.0)
     Fdn = jnp.maximum(-Fd, 0.0)
     r_col = _flat(dual.r_vec[..., None])                   # (N, 1)
@@ -330,7 +422,8 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
     def qd_apply(Yf):
         """Qd Y, flat (N, B) -> (N, B)."""
         Y4 = _unflat(Yf, H, nu)
-        return _flat(_g_apply(kkt_solve(f, _gt_apply(Y4), prec)))
+        return _flat(_g_apply(kkt_solve(f, _gt_apply(Y4), prec,
+                                        pscan)))
 
     def update(Yf):
         qdY = qd_apply(Yf)
@@ -362,7 +455,7 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
     def recover(Yf):
         """U = -Qp^-1(Fp + G'Y): (H, nu, B)."""
         t = Fp + _gt_apply(_unflat(Yf, H, nu))
-        return -kkt_solve(f, t, prec)
+        return -kkt_solve(f, t, prec, pscan)
 
     def check(Yf):
         U = recover(Yf)
@@ -375,7 +468,8 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         # evaluated from the identity QpU = -(Fp + G'Y*)... NOT valid off
         # the solution; use the stage-cost rollout instead (numerically
         # identical, O(H)):
-        xs = rollout_states(f, jnp.zeros_like(x0), U, None, prec)
+        xs = rollout_states(f, jnp.zeros_like(x0), U, None, prec,
+                            pscan)
         # 1/2 U'Qp U with Qp = 2*(Su'Qbar Su + Rbar) equals the
         # UNSCALED stage quadratic of the zero-x0 rollout
         ysU = jax.vmap(lambda x: jnp.matmul(f.C, x, precision=prec))(xs)

@@ -161,3 +161,52 @@ def test_stagewise_long_horizon_linear_memory():
     xs = rollout_states(sd.factor, jnp.asarray(x0),
                         jnp.asarray(U.reshape(512, 1, 1)))
     assert abs(float(xs[-1, 0, 0])) < 0.1
+
+
+def test_pscan_kkt_matches_sequential():
+    """Temporal-parallel (associative-scan) KKT recursions == the
+    sequential scans, for all three recursions (kkt_solve, rollout,
+    forcing): same affine maps, different association order."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.models.stagewise import (kkt_solve,
+                                                  riccati_factor,
+                                                  rollout_states)
+
+    spec = _spec(H=37)   # odd, non-power-of-two
+    f = riccati_factor(spec)
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal((37, 1, 4)).astype(np.float32))
+    u_seq = np.asarray(kkt_solve(f, v, pscan=False))
+    u_par = np.asarray(kkt_solve(f, v, pscan=True))
+    np.testing.assert_allclose(u_par, u_seq, rtol=1e-4, atol=1e-5)
+
+    x0 = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    u = jnp.asarray(rng.standard_normal((37, 1, 4)).astype(np.float32))
+    xs_seq = np.asarray(rollout_states(f, x0, u, pscan=False))
+    xs_par = np.asarray(rollout_states(f, x0, u, pscan=True))
+    np.testing.assert_allclose(xs_par, xs_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_pscan_solve_matches_sequential():
+    """solve_stagewise(pscan=True) reproduces the sequential path's
+    solution and convergence on a batch (H below the auto threshold so
+    both modes are forced explicitly)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
+
+    spec = _spec(H=12)
+    rng = np.random.default_rng(1)
+    x0 = rng.uniform(-2, 2, (2, 4)).astype(np.float32)
+    cfg = SolverConfig(max_iters=100_000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-4, erj=1e-5, erc=1e-5, eac=1e-5,
+                       strict_weak_duality=False)
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    ref = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg, pscan=False)
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg, pscan=True)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.Jp), np.asarray(ref.Jp),
+                               rtol=1e-4, atol=1e-4)
