@@ -95,3 +95,45 @@ def test_row_sharded_large_n():
     assert bool(np.asarray(res.converged).all())
     np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_stagewise_data_parallel_matches_single_device():
+    """The sparse stage-wise solver is data-parallel for free: the dual
+    geometry is batch-free (replicated) and only x0 carries the batch —
+    sharding its trailing axis over the mesh propagates through every
+    (H, nu, B) einsum and associative scan via GSPMD."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models import MPCSpec, double_integrator
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
+    from pqp_for_mpc_tpu.parallel import make_mesh
+
+    spec = MPCSpec(
+        plant=double_integrator(), horizon=12,
+        Qy=np.eye(1, dtype=np.float32),
+        R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32),
+        u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    cfg = SolverConfig(max_iters=50_000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-4, erj=1e-5, erc=1e-5, eac=1e-5,
+                       strict_weak_duality=False)
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    rng = np.random.default_rng(2)
+    x0 = rng.uniform(-2, 2, (2, 16)).astype(np.float32)
+    ref = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg, pscan=True)
+
+    mesh = make_mesh(model=1)
+    x0_s = jax.device_put(jnp.asarray(x0),
+                          NamedSharding(mesh, P(None, "data")))
+    res = solve_stagewise(sd, x0_s, cfg=cfg, pscan=True)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
