@@ -1,0 +1,95 @@
+"""Closed-loop controller throughput: condensed vs stage-wise backend.
+
+Receding-horizon rollouts (MPCController.rollout_jit — the whole loop,
+solve included, in one lax.scan) on the double integrator across
+horizons.  This is the end-to-end number an MPC user sees, and the
+crossover evidence for the stage-wise backend: the condensed dual is
+(4*H*nu)^2 dense, so its per-iteration cost grows O(H^2) while the
+matrix-free path grows O(H log H) (pscan) with O(H) memory.
+
+Both backends run the same conditioning-appropriate tolerances
+(config.stagewise_mpc_config) so converged work per step is comparable.
+At H=512 the condensed backend is skipped by default: its (2048)^2
+dual takes minutes to converge per cold solve at these tolerances
+(the point of the stage-wise path).
+
+Writes benchmarks/CONTROLLER_BENCH_r{round}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def bench_backend(H: int, backend: str, steps: int) -> dict:
+    from pqp_for_mpc_tpu.config import stagewise_mpc_config
+    from pqp_for_mpc_tpu.models import MPCController, MPCSpec
+    from pqp_for_mpc_tpu.models import double_integrator
+
+    spec = MPCSpec(
+        plant=double_integrator(), horizon=H,
+        Qy=np.eye(1, dtype=np.float32),
+        R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32),
+        u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+    cfg = stagewise_mpc_config(H)
+    ctrl = MPCController(spec, cfg=cfg, backend=backend,
+                         warm_start="shift")
+    x0 = np.array([2.0, 0.0], np.float32)
+    build_t0 = time.perf_counter()
+    out = ctrl.rollout_jit(x0, steps=steps)      # compile + first run
+    build_s = time.perf_counter() - build_t0
+    t0 = time.perf_counter()
+    out = ctrl.rollout_jit(x0, steps=steps)
+    dt = time.perf_counter() - t0
+    return {
+        "horizon": H, "backend": backend, "steps": steps,
+        "steps_per_s": round(steps / dt, 2),
+        "wall_s": round(dt, 4),
+        "compile_plus_first_run_s": round(build_s, 2),
+        "iters_mean": round(float(out["iters"].mean()), 1),
+        "converged_frac": round(float(out["converged"].mean()), 3),
+        "final_state_norm": round(float(np.linalg.norm(out["x"][-1])), 4),
+    }
+
+
+def main() -> None:
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--condensed-512", action="store_true",
+                    help="also run the condensed backend at H=512 "
+                         "(slow: dense (2048)^2 dual)")
+    args = ap.parse_args()
+
+    rows = []
+    for H in (32, 128, 512):
+        backends = ["stagewise"]
+        if H < 512 or args.condensed_512:
+            backends.insert(0, "condensed")
+        for backend in backends:
+            row = bench_backend(H, backend, args.steps)
+            print(json.dumps(row))
+            rows.append(row)
+
+    result = {"platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0]), "rows": rows}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -218,7 +218,10 @@ def cmd_rollout(args) -> int:
         r=np.zeros(ny, np.float32),
         u_min=-np.ones(nu, np.float32), u_max=np.ones(nu, np.float32),
         du_max=0.5 * np.ones(nu, np.float32))
-    ctrl = MPCController(spec)
+    backend = getattr(args, "backend", "condensed")
+    ctrl = MPCController(
+        spec, backend=backend,
+        warm_start="shift" if backend == "stagewise" else True)
     rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
     t0 = time.perf_counter()
@@ -231,6 +234,7 @@ def cmd_rollout(args) -> int:
     dt = time.perf_counter() - t0
     print(json.dumps({
         "plant": args.plant, "horizon": args.horizon, "steps": args.steps,
+        "backend": backend,
         "final_state_norm": round(float(np.linalg.norm(out["x"][-1])), 4),
         "iters_mean": round(float(out["iters"].mean()), 1),
         "iters_max": int(out["iters"].max()),
@@ -392,6 +396,12 @@ def main(argv=None) -> int:
     p.add_argument("--horizon", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=("condensed", "stagewise"),
+                   default="condensed",
+                   help="condensed = dense dual (the reference's "
+                        "formulation); stagewise = matrix-free O(H) "
+                        "path for long horizons (tolerances auto-set "
+                        "to the horizon's float32 certification floor)")
     p.add_argument("--jit", action="store_true",
                    help="run the whole closed loop as one lax.scan "
                         "dispatch (no per-step host round-trips)")

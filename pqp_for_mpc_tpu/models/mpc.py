@@ -247,10 +247,20 @@ class MPCController:
     def __init__(self, spec: MPCSpec, cfg: Optional[SolverConfig] = None,
                  warm_start=True,
                  cold_start_y0: Optional[float] = None,
-                 warm_start_floor: float = 1e-6):
+                 warm_start_floor: float = 1e-6,
+                 backend: str = "condensed"):
         # warm_start: False | True (carry multipliers) | "shift" (carry
         # AND advance them one control stage — see _shift_multipliers)
-        from pqp_for_mpc_tpu.config import MPC_CONFIG
+        # backend: "condensed" (dense Qd, the reference's formulation) or
+        # "stagewise" (matrix-free O(H) path, models/stagewise.py — for
+        # long horizons where the dense (4*H*nu)^2 dual is prohibitive;
+        # input box + slew constraints only).  The stage-wise default
+        # cfg lifts tolerances to the horizon's float32 certification
+        # floor (stagewise_mpc_config); pass an explicit cfg to
+        # override.
+        from pqp_for_mpc_tpu.config import MPC_CONFIG, stagewise_mpc_config
+        if backend not in ("condensed", "stagewise"):
+            raise ValueError(f"unknown backend {backend!r}")
         if cfg is None:
             # MPC_CONFIG's small cold start (y0=0.01) matters: the
             # multiplicative update *grows* Y fast (ratio up to
@@ -259,7 +269,8 @@ class MPCController:
             # (PQP_CPU.c:710, tuned for its own example/) is
             # catastrophic here: on a double-integrator MPC QP it needs
             # ~51k iterations where Y0=0.01 needs 9 — same U*.
-            cfg = MPC_CONFIG
+            cfg = (stagewise_mpc_config(spec.horizon)
+                   if backend == "stagewise" else MPC_CONFIG)
         self.spec = spec
         self.warm_start = warm_start
         # An explicitly-passed cfg is honored verbatim; cold_start_y0
@@ -273,18 +284,37 @@ class MPCController:
         # stalls on an infeasible U.  Floor the carried multipliers at a
         # tiny positive value; growth back to O(1) is geometric and fast.
         self.warm_start_floor = warm_start_floor
+        self.backend = backend
         self._u_base = (jnp.zeros(spec.plant.n_input, jnp.float32)
                         if spec.u_prev is None
                         else jnp.asarray(spec.u_prev, jnp.float32))
-        self.data = condense(spec)
-        self.Qp = jnp.linalg.inv(self.data.Qp_inv)
-        # instance-invariant dual geometry (GQi, Qd, theta, splits) is
-        # computed once; per-step solves only rebuild the forcing
-        self._geom = dual_geometry(self.data.Gp, self.data.Qp_inv,
-                                   theta_floor=self.cfg.theta_floor,
-                                   precision=self.cfg.precision)
+        if backend == "stagewise":
+            from pqp_for_mpc_tpu.models.stagewise import stagewise_dual
+            # matrix-free geometry; the O((H*nu)^2) condensed blocks are
+            # never built
+            self._sd = stagewise_dual(spec,
+                                      theta_floor=self.cfg.theta_floor)
+            self.data = None
+            self.Qp = None
+            self._geom = None
+        else:
+            self.data = condense(spec)
+            self.Qp = jnp.linalg.inv(self.data.Qp_inv)
+            # instance-invariant dual geometry (GQi, Qd, theta, splits)
+            # is computed once; per-step solves only rebuild the forcing
+            self._geom = dual_geometry(self.data.Gp, self.data.Qp_inv,
+                                       theta_floor=self.cfg.theta_floor,
+                                       precision=self.cfg.precision)
         self._Y = None
         self._rollout_fns = {}   # steps -> compiled scan closure
+
+    def _sd_with_uprev(self, u_prev):
+        """Stage-wise dual with the stage-0 slew bounds moved to
+        ``u_prev`` (additive delta from the build-time base, mirroring
+        the condensed path's Kp update in :meth:`step`)."""
+        delta = jnp.asarray(u_prev, jnp.float32).reshape(-1) - self._u_base
+        Kp = self._sd.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
+        return dataclasses.replace(self._sd, Kp=Kp)
 
     def reset(self):
         self._Y = None
@@ -313,7 +343,7 @@ class MPCController:
         for _ in range(4):
             segs.append(shift_block(Y2[off:off + H * nu], nu))
             off += H * nu
-        if self.data.Kx is not None:
+        if self.data is not None and self.data.Kx is not None:
             # 2 output blocks, plus 2 slack-positivity blocks when soft
             n_blocks = 4 if spec.soft_penalty is not None else 2
             for _ in range(n_blocks):
@@ -327,6 +357,8 @@ class MPCController:
         batched ``(ns, B)`` for scenario fan-outs."""
         H, nu = self.spec.horizon, self.spec.plant.n_input
         nd = self.spec.plant.n_dist
+        if self.backend == "stagewise":
+            return self._step_stagewise(x, d_seq, u_prev)
         D = (jnp.zeros(H * nd, jnp.float32) if d_seq is None
              else jnp.asarray(d_seq, jnp.float32).reshape(-1))
         data = self.data
@@ -359,6 +391,35 @@ class MPCController:
         u0 = res.U[:nu]
         return u0, res
 
+    def _step_stagewise(self, x, d_seq=None, u_prev=None):
+        """Matrix-free :meth:`step`: same warm-start/shift semantics,
+        the solve runs :func:`pqp_for_mpc_tpu.models.stagewise.solve_stagewise`
+        (O(H) memory, temporally-parallel KKT recursions)."""
+        from pqp_for_mpc_tpu.models.stagewise import solve_stagewise
+        spec = self.spec
+        nu, nd = spec.plant.n_input, spec.plant.n_dist
+        x2 = jnp.asarray(x, jnp.float32)
+        x2 = x2 if x2.ndim == 2 else x2[:, None]
+        B = x2.shape[1]
+        dseq = None
+        if d_seq is not None:
+            dseq = jnp.asarray(d_seq, jnp.float32).reshape(
+                spec.horizon, nd)[..., None]
+            dseq = jnp.broadcast_to(dseq, (spec.horizon, nd, B))
+        sd = self._sd if u_prev is None else self._sd_with_uprev(u_prev)
+        Y0 = None
+        if self.warm_start and self._Y is not None:
+            Yw = self._Y
+            if self.warm_start == "shift":
+                Yw = self._shift_multipliers(Yw)
+            if Yw.shape[1] in (B, 1):
+                Y0 = jnp.maximum(Yw, self.warm_start_floor)
+        res = solve_stagewise(sd, x2, dseq=dseq, Y0=Y0, cfg=self.cfg)
+        if self.warm_start:
+            self._Y = res.Y
+        u0 = res.U[:nu]
+        return u0, res
+
     def rollout_jit(self, x0, steps: int):
         """Fully-jitted closed loop: ``lax.scan`` over control steps with
         the PQP solve, constraint-vector rebuild (slew rows depend on the
@@ -384,6 +445,8 @@ class MPCController:
                     iters=np.asarray(iters), converged=np.asarray(conv))
 
     def _build_rollout_fn(self, steps: int):
+        if self.backend == "stagewise":
+            return self._build_rollout_fn_stagewise(steps)
         spec, data, cfg = self.spec, self.data, self.cfg
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
@@ -420,6 +483,49 @@ class MPCController:
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             # next-step warm start honors the controller's mode
+            if warm_mode == "shift":
+                Yn = self._shift_multipliers(res.Y)
+            elif warm_mode:
+                Yn = res.Y
+            else:
+                Yn = Y_cold
+            return (xn, u0, Yn), (xn, u0, res.iters[0],
+                                  res.converged[0])
+
+        @jax.jit
+        def run(x0):
+            init = (x0, jnp.zeros(nu, jnp.float32),
+                    jnp.full((N, 1), cfg.y0, jnp.float32))
+            _, traj = jax.lax.scan(step, init, None, length=steps)
+            return traj
+
+        return run
+
+    def _build_rollout_fn_stagewise(self, steps: int):
+        """Stage-wise analog of :meth:`_build_rollout_fn`: the whole
+        closed loop — matrix-free solve included — in one lax.scan."""
+        from pqp_for_mpc_tpu.models.stagewise import solve_stagewise
+        spec, cfg = self.spec, self.cfg
+        plant = spec.plant
+        nu = plant.n_input
+        A = jnp.asarray(plant.A, jnp.float32)
+        Bm = jnp.asarray(plant.B, jnp.float32)
+        sd0 = self._sd
+        u_base = self._u_base
+        floor = self.warm_start_floor
+        warm_mode = self.warm_start
+        N = sd0.n_con
+        Y_cold = jnp.full((N, 1), cfg.y0, jnp.float32)
+
+        def step(carry, _):
+            x, u_prev, Y = carry
+            delta = u_prev - u_base
+            Kp = sd0.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
+            sd = dataclasses.replace(sd0, Kp=Kp)
+            res = solve_stagewise(sd, x[:, None],
+                                  Y0=jnp.maximum(Y, floor), cfg=cfg)
+            u0 = res.U[:nu, 0]
+            xn = A @ x + Bm @ u0
             if warm_mode == "shift":
                 Yn = self._shift_multipliers(res.Y)
             elif warm_mode:

@@ -488,6 +488,15 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
 
     if Y0 is None:
         Y0 = jnp.full((N, B), cfg.y0, jnp.float32)
+    else:
+        # mirror solve_batched's warm-start semantics: a single warm
+        # start seeds the whole batch; a mismatched batch is an error
+        # (silently recycling lane 0 would be a quiet wrong answer)
+        if Y0.shape[1] == 1 and B > 1:
+            Y0 = jnp.broadcast_to(Y0, (N, B))
+        elif Y0.shape[1] != B:
+            raise ValueError(
+                f"warm start batch {Y0.shape[1]} != instance batch {B}")
     k = cfg.check_every
 
     def run_updates(Y, done):

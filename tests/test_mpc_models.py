@@ -402,3 +402,85 @@ def test_receding_horizon_regulates_and_warm_start_helps():
     out_c = cold.rollout(np.array([2.0, 0.0], np.float32), steps=10)
     assert (np.mean(out["iters"][1:10])
             <= 1.2 * np.mean(out_c["iters"][1:10]))
+
+
+def _di_spec(H):
+    from pqp_for_mpc_tpu.models import MPCSpec, double_integrator
+
+    return MPCSpec(
+        plant=double_integrator(), horizon=H,
+        Qy=np.eye(1, dtype=np.float32),
+        R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.zeros(1, np.float32),
+        u_min=np.array([-1.0], np.float32),
+        u_max=np.array([1.0], np.float32),
+        du_max=np.array([0.5], np.float32))
+
+
+def test_controller_stagewise_backend_matches_condensed():
+    """backend='stagewise' drives the same closed loop as the condensed
+    backend (same spec, same warm-start semantics) without ever building
+    the O((H*nu)^2) condensed blocks."""
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _di_spec(16)
+    x0 = np.array([2.0, 0.0], np.float32)
+    ref = MPCController(spec).rollout(x0, steps=12)
+    ctrl = MPCController(spec, backend="stagewise")
+    assert ctrl.data is None          # condensed blocks never built
+    out = ctrl.rollout(x0, steps=12)
+    np.testing.assert_allclose(out["u"][:, 0], ref["u"][:, 0], atol=5e-3)
+    np.testing.assert_allclose(out["x"], ref["x"], atol=2e-2)
+
+
+def test_controller_stagewise_batch_transition():
+    """A warm-started stage-wise controller accepts a batch-size change:
+    the carried (N, 1) multipliers seed every lane of the next batched
+    step (caught live on TPU: the unbroadcast Y0 used to crash the
+    while_loop with a carry-shape mismatch)."""
+    from pqp_for_mpc_tpu.models import MPCController
+
+    ctrl = MPCController(_di_spec(16), backend="stagewise")
+    u0, _ = ctrl.step(np.array([2.0, 0.0], np.float32))
+    xb = np.array([[2.0, 1.0, -1.5, 0.3], [0.0, 0.5, 0.2, -0.4]],
+                  np.float32)
+    u0b, resb = ctrl.step(xb)
+    assert u0b.shape == (1, 4)
+    assert np.isfinite(np.asarray(resb.U)).all()
+    assert bool(np.asarray(resb.converged).all()), resb.stats()
+
+
+def test_controller_stagewise_rollout_jit():
+    """The stage-wise backend's fully-jitted scan rollout regulates a
+    long-horizon (H=128) double integrator — a problem size where the
+    condensed dual would be (4*128)^2 dense.
+
+    The default cfg (config.stagewise_mpc_config) lifts the tolerances
+    to the horizon's float32 certification floor — conditioning grows
+    ~H^4, so MPC_CONFIG's 1e-4 slacks are certifiable only up to H~32;
+    at H=128 the feasibility residual stalls at ~2.5e-3 and the
+    relative gap at 3e-3..1e-2 (scale-invariant: the gap is a
+    difference of O(kappa*eps)-noisy f32 objectives).  Right AT the
+    floor certification is noise-marginal — a few steps can land one
+    check above the gap tolerance and run to max_iters — so the test
+    asserts a high certified fraction plus regulation quality, not
+    all-steps certification.  See also
+    test_stagewise.py::test_stagewise_long_horizon_linear_memory
+    (H=512 floors)."""
+    import dataclasses
+    from pqp_for_mpc_tpu.config import stagewise_mpc_config
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _di_spec(128)
+    cfg = dataclasses.replace(stagewise_mpc_config(128), max_iters=3_000)
+    ctrl = MPCController(spec, cfg=cfg, backend="stagewise",
+                         warm_start="shift")
+    out = ctrl.rollout_jit(np.array([2.0, 0.0], np.float32), steps=30)
+    conv = out["converged"]
+    assert conv.mean() >= 0.8, out["iters"]
+    assert bool(conv[0]), out["iters"][0]        # the cold solve certifies
+    # the loop regulates the state to the origin regardless
+    assert abs(out["x"][-1][0]) < 0.1
+    # warm-started certified steps converge far faster than the cold solve
+    warm = out["iters"][5:][conv[5:]]
+    assert warm.mean() <= 0.2 * out["iters"][0], (warm, out["iters"][0])
