@@ -75,6 +75,28 @@ class SolverConfig:
     # terminates on the two-sided gap tolerances alone (recommended for
     # production).
     strict_weak_duality: bool = True
+    # Certify the duality gap via the complementarity identity instead of
+    # the reference's explicit cost difference.  For the recovered primal
+    # U = -Qp^-1(Fp + Gp'Y) the gap collapses algebraically:
+    #
+    #   Jp(U) + Jd(Y) = Y'(Qd Y + Fd)
+    #
+    # (substitute U into Jp: the Fp'Qp^-1 Fp and Mp terms cancel against
+    # Md's definition, PQP_CPU.c:456-479).  The two sides are equal in
+    # exact arithmetic but wildly different in float32: Jp and Jd each
+    # carry the constants Mp/2 and Md/2 — Md itself a catastrophic
+    # difference Fp'Qp^-1 Fp - Mp of quantities that can dwarf the
+    # optimal cost — so the explicit gap's noise floor is
+    # ~eps * max(|Mp|, |Fp'Qp^-1 Fp|), while the complementarity form
+    # never touches those constants and floors at ~eps * |Jd| (measured
+    # on the H=512 double integrator: explicit-gap noise ~1e-3 against
+    # |Jd| ~ 45 vs complementarity ~1e-5 — two orders tighter
+    # certification).  Off by default for reference conformance (the
+    # golden 313-iteration parity pins the reference's exact float
+    # program, computeCost PQP_CPU.c:648-666); MPC_CONFIG and
+    # stagewise_mpc_config enable it.  The fused whole-solve Pallas
+    # kernels always certify with the reference's explicit form.
+    gap_from_complementarity: bool = False
     # Guard the reference's unguarded divide (``updY``, PQP_CPU.c:594).
     # Denominator (Qd^+ + theta) Y + Fd^+ is strictly positive for Y > 0 in
     # exact arithmetic (theta_ii >= 5 > 0), but float32 underflow can drive
@@ -113,6 +135,7 @@ MPC_CONFIG = SolverConfig(
     erc=1e-4, eac=1e-4, eaj=1e-4, erj=1e-4,
     y0=0.01, check_every=8, accel_every=4,
     strict_weak_duality=False, max_iters=50_000,
+    gap_from_complementarity=True,
 )
 
 def stagewise_mpc_config(horizon: int) -> SolverConfig:

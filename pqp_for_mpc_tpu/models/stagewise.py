@@ -479,11 +479,21 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         Ru = jax.vmap(lambda v: jnp.matmul(f.R, v, precision=prec))(U)
         quad = quad + jnp.sum(U * Ru, axis=(0, 1))
         Jp = quad + jnp.sum(Fp * U, axis=(0, 1)) + 0.5 * Mp
-        gap = Jp + Jd
+        if cfg.gap_from_complementarity:
+            # Jp(U(Y)) + Jd(Y) = Y'(Qd Y + Fd) exactly (the Mp/Md
+            # constants cancel; SolverConfig.gap_from_complementarity).
+            # The matrix-free path gains even more than the condensed
+            # one: its explicit Jp additionally carries the stage-cost
+            # rollout's accumulation noise.
+            gap = jnp.sum(Yf * (qdY + Fd), axis=0)
+            weak = gap > 0.0
+        else:
+            gap = Jp + Jd
+            weak = Jp > -Jd
         fail = (~feas | (gap > cfg.eaj)
                 | (gap / jnp.abs(Jd) > cfg.erj))
         if cfg.strict_weak_duality:
-            fail = fail | (Jp > -Jd)
+            fail = fail | weak
         return ~fail, U, feas, Jp, Jd
 
     if Y0 is None:

@@ -142,11 +142,19 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                 + 0.5 * Md_l
             Jp = (0.5 * jnp.sum(U * jnp.matmul(Qp, U, precision=prec), axis=0)
                   + jnp.sum(Fp_l * U, axis=0) + 0.5 * Mp_l)
-            gap = Jp + Jd
+            if cfg.gap_from_complementarity:
+                # Y'(Qd Y + Fd) psum'd over row shards (identity and
+                # conditioning rationale: SolverConfig docstring)
+                gap = lax.psum(
+                    jnp.sum(Yb * (QdY_b + Fd_b), axis=0), model_axis)
+                weak = gap > 0.0
+            else:
+                gap = Jp + Jd
+                weak = Jp > -Jd
             fail = (~feas | (gap > cfg.eaj)
                     | (gap / jnp.abs(Jd) > cfg.erj))
             if cfg.strict_weak_duality:
-                fail = fail | (Jp > -Jd)
+                fail = fail | weak
             return ~fail, U, feas, Jp, Jd
 
         def one_update(Yl, done):

@@ -181,20 +181,43 @@ def feasibility(primal: PrimalQP, U: jax.Array, erc: float, eac: float,
 
 
 def termination_fail(feas: jax.Array, Jp: jax.Array, Jd: jax.Array,
-                     cfg: SolverConfig) -> jax.Array:
+                     cfg: SolverConfig,
+                     gap: Optional[jax.Array] = None) -> jax.Array:
     """The four-part verdict of ``terminate`` (PQP_CPU.c:673-687) given
     precomputed feasibility and costs.  Written in the reference's
     negated form (``fail if x > tol``) so NaN propagation matches C
     semantics (NaN comparisons are false => that test passes).  Single
     source of truth for the XLA check, the sharded check, and the
-    Pallas kernel's exit-verdict rescue."""
-    gap = Jp + Jd
+    Pallas kernel's exit-verdict rescue.
+
+    ``gap`` — optional precomputed duality gap (the complementarity form
+    ``Y'(Qd Y + Fd)``, see ``SolverConfig.gap_from_complementarity``);
+    ``None`` uses the reference's explicit ``Jp + Jd``.  The weak-duality
+    test keeps the reference's exact comparison form (``Jp > -Jd``) only
+    in explicit mode — with a precomputed gap it is ``gap > 0``, the
+    same predicate on the better-conditioned estimate."""
+    if gap is None:
+        gap = Jp + Jd
+        weak_fail = lambda: Jp > -Jd
+    else:
+        weak_fail = lambda: gap > 0.0
     fail = (~feas
             | (gap > cfg.eaj)
             | (gap / jnp.abs(Jd) > cfg.erj))
     if cfg.strict_weak_duality:
-        fail = fail | (Jp > -Jd)
+        fail = fail | weak_fail()
     return fail
+
+
+def complementarity_gap(dual: DualQP, Y: jax.Array,
+                        precision=None) -> jax.Array:
+    """Duality gap of the recovered primal via the identity
+    ``Jp(U(Y)) + Jd(Y) = Y'(Qd Y + Fd)`` — exact for
+    ``U = -Qp^-1(Fp + Gp'Y)`` and numerically far better conditioned
+    than the explicit difference (it never touches the Mp/Md constants;
+    see ``SolverConfig.gap_from_complementarity``).  Returns (B,)."""
+    QdY = _mv(dual.Qd, Y, precision)
+    return jnp.sum(Y * (QdY + _as2d(dual.Fd)), axis=0)
 
 
 def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
@@ -206,7 +229,9 @@ def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
     U = recover_U(primal, Y, precision)
     feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
     Jp, Jd = costs(primal, dual, Y, U, precision)
-    fail = termination_fail(feas, Jp, Jd, cfg)
+    gap = (complementarity_gap(dual, Y, precision)
+           if cfg.gap_from_complementarity else None)
+    fail = termination_fail(feas, Jp, Jd, cfg, gap)
     return ~fail, U, feas, Jp, Jd
 
 

@@ -95,3 +95,62 @@ def test_accel_never_increases_dual_cost():
         after = _dual_cost(dual, accel_step(dual, Y, done))
         assert np.all(after <= before + 1e-2 * np.maximum(1.0,
                                                           np.abs(before)))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_complementarity_gap_identity(seed):
+    """Jp(U(Y)) + Jd(Y) == Y'(Qd Y + Fd) for the recovered primal — the
+    identity behind SolverConfig.gap_from_complementarity, checked in
+    float64 against the float32 data (the two float32 estimates differ;
+    the float64 ground truths must agree)."""
+    from pqp_for_mpc_tpu.solver import complementarity_gap, recover_U
+
+    primal, dual = _random_problem(10, 24, 4, seed)
+    rng = np.random.default_rng(seed + 100)
+    Y = np.abs(rng.standard_normal((24, 4))).astype(np.float32)
+
+    # float64 ground truth of both sides
+    Qp = np.asarray(primal.Qp, np.float64)
+    Fp = np.asarray(primal.Fp, np.float64)
+    Mp = np.asarray(primal.Mp, np.float64)
+    Gp = np.asarray(primal.Gp, np.float64)
+    Qd = np.asarray(dual.Qd, np.float64)
+    Fd = np.asarray(dual.Fd, np.float64)
+    Md = np.asarray(dual.Md, np.float64)
+    Y64 = Y.astype(np.float64)
+    U = -np.linalg.solve(Qp, Fp + Gp.T @ Y64)
+    Jp = 0.5 * np.einsum("ib,ij,jb->b", U, Qp, U) + (Fp * U).sum(0) + Mp / 2
+    Jd = 0.5 * np.einsum("ib,ij,jb->b", Y64, Qd, Y64) \
+        + (Fd * Y64).sum(0) + Md / 2
+    lhs = Jp + Jd
+    rhs = (Y64 * (Qd @ Y64 + Fd)).sum(0)
+    # Md is itself built from float32 Qd/Fp data, so the float64
+    # identity holds to float32 data accuracy
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4, atol=1e-3)
+
+    # and the float32 implementation computes the same quantity
+    got = np.asarray(complementarity_gap(dual, Y))
+    np.testing.assert_allclose(got, rhs, rtol=1e-3, atol=1e-2)
+    # sanity: recover_U matches the float64 recovery
+    np.testing.assert_allclose(np.asarray(recover_U(primal, Y)), U,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_complementarity_mode_solves_reference_example():
+    """gap_from_complementarity=True reaches the same U* on the golden
+    example (it changes the certification estimator, not the iterate
+    trajectory)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig, dualize, solve
+    from pqp_for_mpc_tpu.io import load_example_dir
+
+    data = load_example_dir("/root/reference/example")
+    primal = data.assemble(Qp=jnp.linalg.inv(data.Qp_inv))
+    cfg = SolverConfig(max_iters=5000)
+    ref = solve(primal, cfg=cfg)
+    res = solve(primal, cfg=dataclasses.replace(
+        cfg, gap_from_complementarity=True))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=1e-4)
