@@ -42,8 +42,14 @@ def bench_backend(H: int, backend: str, steps: int) -> dict:
         u_max=np.array([1.0], np.float32),
         du_max=np.array([0.5], np.float32))
     cfg = stagewise_mpc_config(H)
+    # H=512 runs cold-started: warm-shift and cold certify the same
+    # ~30-33% of steps there (measured — the binder is per-step QP
+    # difficulty at f32 tolerances once the trajectory saturates u and
+    # the stage-0 slew bound goes negative, not warm-start poisoning),
+    # and the in-graph certify-or-recover retry's doubled graph crashes
+    # this TPU worker at H=512 (fine at H<=128; ROADMAP #10).
     ctrl = MPCController(spec, cfg=cfg, backend=backend,
-                         warm_start="shift")
+                         warm_start=False if H >= 512 else "shift")
     x0 = np.array([2.0, 0.0], np.float32)
     build_t0 = time.perf_counter()
     out = ctrl.rollout_jit(x0, steps=steps)      # compile + first run

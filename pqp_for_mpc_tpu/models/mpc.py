@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from pqp_for_mpc_tpu.models.plants import LinearPlant
@@ -235,6 +236,16 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
 # Receding-horizon closed loop
 # ---------------------------------------------------------------------------
 
+def _merge_lanes(ok, res_a, res_b):
+    """Per-lane select between two :class:`SolveResult`s: lane ``i``
+    takes ``res_a`` where ``ok[i]`` else ``res_b`` (the cold-retry merge
+    of ``MPCController(retry_cold=True)``)."""
+    def pick(a, b):
+        m = ok[None, :] if a.ndim == 2 else ok
+        return jnp.where(m, a, b)
+    return jax.tree.map(pick, res_a, res_b)
+
+
 class MPCController:
     """Receding-horizon controller around the batched PQP solver.
 
@@ -248,9 +259,21 @@ class MPCController:
                  warm_start=True,
                  cold_start_y0: Optional[float] = None,
                  warm_start_floor: float = 1e-6,
-                 backend: str = "condensed"):
+                 backend: str = "condensed",
+                 retry_cold: bool = False):
         # warm_start: False | True (carry multipliers) | "shift" (carry
         # AND advance them one control stage — see _shift_multipliers)
+        # retry_cold: certify-or-recover.  A warm start whose active set
+        # is badly wrong can stall the multiplicative update past
+        # max_iters (observed at H=512: a stalled step's carried
+        # multipliers poison the NEXT warm start and the whole rest of
+        # the rollout runs uncertified, while a cold solve certifies in
+        # ~1000 iters).  With retry_cold, any step that fails the
+        # four-part certification is re-solved once from the cold start
+        # (lax.cond in the jitted rollout: the retry costs compile time
+        # always, runtime only when taken), and the retry's multipliers
+        # replace the poisoned carry.  Failure RECOVERY on top of the
+        # failure detection the reference lacks (SURVEY.md §5).
         # backend: "condensed" (dense Qd, the reference's formulation) or
         # "stagewise" (matrix-free O(H) path, models/stagewise.py — for
         # long horizons where the dense (4*H*nu)^2 dual is prohibitive;
@@ -285,6 +308,7 @@ class MPCController:
         # tiny positive value; growth back to O(1) is geometric and fast.
         self.warm_start_floor = warm_start_floor
         self.backend = backend
+        self.retry_cold = retry_cold
         self._u_base = (jnp.zeros(spec.plant.n_input, jnp.float32)
                         if spec.u_prev is None
                         else jnp.asarray(spec.u_prev, jnp.float32))
@@ -386,6 +410,12 @@ class MPCController:
                 Y0 = jnp.maximum(Yw, self.warm_start_floor)
             # else: batch size changed since last step — cold start
         res = solve_batched(primal, dual, Y0=Y0, cfg=self.cfg)
+        if self.retry_cold and Y0 is not None and \
+                not bool(jnp.all(res.converged)):
+            # certify-or-recover (see __init__): cold re-solve, merged
+            # per-lane so certified lanes keep their warm result
+            res2 = solve_batched(primal, dual, cfg=self.cfg)
+            res = _merge_lanes(res.converged, res, res2)
         if self.warm_start:
             self._Y = res.Y
         u0 = res.U[:nu]
@@ -415,6 +445,10 @@ class MPCController:
             if Yw.shape[1] in (B, 1):
                 Y0 = jnp.maximum(Yw, self.warm_start_floor)
         res = solve_stagewise(sd, x2, dseq=dseq, Y0=Y0, cfg=self.cfg)
+        if self.retry_cold and Y0 is not None and \
+                not bool(jnp.all(res.converged)):
+            res2 = solve_stagewise(sd, x2, dseq=dseq, cfg=self.cfg)
+            res = _merge_lanes(res.converged, res, res2)
         if self.warm_start:
             self._Y = res.Y
         u0 = res.U[:nu]
@@ -472,6 +506,8 @@ class MPCController:
             return data.Kp.at[2 * M:3 * M].add(e1u) \
                           .at[3 * M:4 * M].add(-e1u)
 
+        retry = self.retry_cold
+
         def step(carry, _):
             x, u_prev, Y = carry
             d2 = dataclasses.replace(data, Kp=kp_of(u_prev))
@@ -480,6 +516,13 @@ class MPCController:
                                    cfg.precision)
             res = solve_batched(primal, dual,
                                 Y0=jnp.maximum(Y, floor), cfg=cfg)
+            if retry:
+                # certify-or-recover (see __init__): re-solve cold when
+                # the warm attempt fails certification
+                res = lax.cond(
+                    res.converged[0], lambda _: res,
+                    lambda _: solve_batched(primal, dual, Y0=Y_cold,
+                                            cfg=cfg), None)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             # next-step warm start honors the controller's mode
@@ -517,6 +560,8 @@ class MPCController:
         N = sd0.n_con
         Y_cold = jnp.full((N, 1), cfg.y0, jnp.float32)
 
+        retry = self.retry_cold
+
         def step(carry, _):
             x, u_prev, Y = carry
             delta = u_prev - u_base
@@ -524,6 +569,12 @@ class MPCController:
             sd = dataclasses.replace(sd0, Kp=Kp)
             res = solve_stagewise(sd, x[:, None],
                                   Y0=jnp.maximum(Y, floor), cfg=cfg)
+            if retry:
+                # certify-or-recover (see __init__)
+                res = lax.cond(
+                    res.converged[0], lambda _: res,
+                    lambda _: solve_stagewise(sd, x[:, None], Y0=Y_cold,
+                                              cfg=cfg), None)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             if warm_mode == "shift":

@@ -484,3 +484,52 @@ def test_controller_stagewise_rollout_jit():
     # warm-started certified steps converge far faster than the cold solve
     warm = out["iters"][5:][conv[5:]]
     assert warm.mean() <= 0.2 * out["iters"][0], (warm, out["iters"][0])
+
+
+def test_controller_retry_cold_recovers_bad_warm_start():
+    """retry_cold=True re-solves uncertified steps from the cold start
+    (certify-or-recover).  Forced failure: warm_start_floor=1e6 raises
+    every carried multiplier to 1e6 — a warm start so bad the
+    multiplicative update cannot decay it within max_iters (the Y0=1000
+    cold start already needs ~51k iterations on this plant; see the
+    MPC_CONFIG rationale comment) — so WITHOUT the retry every step
+    runs uncertified, and WITH it every step certifies via the cold
+    re-solve."""
+    import dataclasses
+    from pqp_for_mpc_tpu.config import MPC_CONFIG
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _di_spec(16)
+    cfg = dataclasses.replace(MPC_CONFIG, max_iters=2000)
+    x0 = np.array([2.0, 0.0], np.float32)
+
+    bad = MPCController(spec, cfg=cfg, warm_start_floor=1e6)
+    out_bad = bad.rollout_jit(x0, steps=6)
+    assert not out_bad["converged"].any(), out_bad["iters"]
+
+    fixed = MPCController(spec, cfg=cfg, warm_start_floor=1e6,
+                          retry_cold=True)
+    out = fixed.rollout_jit(x0, steps=6)
+    assert bool(out["converged"].all()), out["iters"]
+    assert abs(out["x"][-1][0]) < abs(x0[0])   # regulating
+
+    # eager step path: same recovery, per-lane
+    fixed.reset()
+    fixed.step(x0)                      # seeds the poisoned warm start
+    _, res = fixed.step(np.array([[1.5, 0.5], [0.1, -0.2]], np.float32))
+    assert bool(np.asarray(res.converged).all()), res.stats()
+
+
+def test_controller_retry_cold_stagewise_backend():
+    """Same certify-or-recover through the stage-wise scan rollout."""
+    import dataclasses
+    from pqp_for_mpc_tpu.config import stagewise_mpc_config
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _di_spec(16)
+    cfg = dataclasses.replace(stagewise_mpc_config(16), max_iters=2000)
+    x0 = np.array([2.0, 0.0], np.float32)
+    ctrl = MPCController(spec, cfg=cfg, backend="stagewise",
+                         warm_start_floor=1e6, retry_cold=True)
+    out = ctrl.rollout_jit(x0, steps=6)
+    assert bool(out["converged"].all()), out["iters"]
