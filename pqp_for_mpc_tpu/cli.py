@@ -221,7 +221,8 @@ def cmd_rollout(args) -> int:
     backend = getattr(args, "backend", "condensed")
     ctrl = MPCController(
         spec, backend=backend,
-        warm_start="shift" if backend == "stagewise" else True)
+        warm_start="shift" if backend == "stagewise" else True,
+        retry_cold=bool(getattr(args, "retry_cold", False)))
     rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
     t0 = time.perf_counter()
@@ -402,6 +403,10 @@ def main(argv=None) -> int:
                         "formulation); stagewise = matrix-free O(H) "
                         "path for long horizons (tolerances auto-set "
                         "to the horizon's float32 certification floor)")
+    p.add_argument("--retry-cold", action="store_true",
+                   help="certify-or-recover: re-solve any step whose "
+                        "warm start fails certification from the cold "
+                        "start (one in-graph retry)")
     p.add_argument("--jit", action="store_true",
                    help="run the whole closed loop as one lax.scan "
                         "dispatch (no per-step host round-trips)")
