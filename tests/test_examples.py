@@ -54,3 +54,10 @@ def test_train_mpc_optax(capsys):
     _run("train_mpc_optax.py", ["4", "6"])
     out = capsys.readouterr().out
     assert "->" in out and "scenarios" in out
+
+
+def test_long_horizon_mpc(capsys):
+    _run("long_horizon_mpc.py", ["64", "12"])
+    out = capsys.readouterr().out
+    assert "steps/s" in out
+    assert "certified 100%" in out
