@@ -34,8 +34,11 @@ def main() -> None:
         u_max=np.array([1.0], np.float32),
         du_max=np.array([0.5], np.float32))
 
+    # retry_cold compiles ONE solve instance at any horizon (the old
+    # lax.cond form crashed the TPU worker's compile at H=512;
+    # solver.retry_cold_solve is the fix)
     ctrl = MPCController(spec, backend="stagewise", warm_start="shift",
-                         retry_cold=(H <= 128))
+                         retry_cold=True)
     assert ctrl.data is None          # the condensed blocks never exist
 
     x0 = np.array([2.0, 0.0], np.float32)

@@ -406,7 +406,8 @@ def main(argv=None) -> int:
     p.add_argument("--retry-cold", action="store_true",
                    help="certify-or-recover: re-solve any step whose "
                         "warm start fails certification from the cold "
-                        "start (one in-graph retry)")
+                        "start (one in-graph retry; a single compiled "
+                        "solve instance, any horizon)")
     p.add_argument("--jit", action="store_true",
                    help="run the whole closed loop as one lax.scan "
                         "dispatch (no per-step host round-trips)")

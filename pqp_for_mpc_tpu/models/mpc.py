@@ -236,14 +236,9 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
 # Receding-horizon closed loop
 # ---------------------------------------------------------------------------
 
-def _merge_lanes(ok, res_a, res_b):
-    """Per-lane select between two :class:`SolveResult`s: lane ``i``
-    takes ``res_a`` where ``ok[i]`` else ``res_b`` (the cold-retry merge
-    of ``MPCController(retry_cold=True)``)."""
-    def pick(a, b):
-        m = ok[None, :] if a.ndim == 2 else ok
-        return jnp.where(m, a, b)
-    return jax.tree.map(pick, res_a, res_b)
+from pqp_for_mpc_tpu.solver import merge_lanes as _merge_lanes  # noqa: F401
+# (kept under the old private name: the cold-retry merge now lives in
+# solver.retry_cold_solve, shared by solve_batched and solve_stagewise)
 
 
 class MPCController:
@@ -409,13 +404,11 @@ class MPCController:
             if Yw.shape[1] == B or Yw.shape[1] == 1:
                 Y0 = jnp.maximum(Yw, self.warm_start_floor)
             # else: batch size changed since last step — cold start
-        res = solve_batched(primal, dual, Y0=Y0, cfg=self.cfg)
-        if self.retry_cold and Y0 is not None and \
-                not bool(jnp.all(res.converged)):
-            # certify-or-recover (see __init__): cold re-solve, merged
-            # per-lane so certified lanes keep their warm result
-            res2 = solve_batched(primal, dual, cfg=self.cfg)
-            res = _merge_lanes(res.converged, res, res2)
+        # certify-or-recover rides inside the solve dispatch (one compiled
+        # retry graph, no per-step host sync on `converged` — the eager
+        # path used to pay a ~26 ms tunnel RTT per step here)
+        res = solve_batched(primal, dual, Y0=Y0, cfg=self.cfg,
+                            retry_cold=self.retry_cold and Y0 is not None)
         if self.warm_start:
             self._Y = res.Y
         u0 = res.U[:nu]
@@ -444,11 +437,8 @@ class MPCController:
                 Yw = self._shift_multipliers(Yw)
             if Yw.shape[1] in (B, 1):
                 Y0 = jnp.maximum(Yw, self.warm_start_floor)
-        res = solve_stagewise(sd, x2, dseq=dseq, Y0=Y0, cfg=self.cfg)
-        if self.retry_cold and Y0 is not None and \
-                not bool(jnp.all(res.converged)):
-            res2 = solve_stagewise(sd, x2, dseq=dseq, cfg=self.cfg)
-            res = _merge_lanes(res.converged, res, res2)
+        res = solve_stagewise(sd, x2, dseq=dseq, Y0=Y0, cfg=self.cfg,
+                              retry_cold=self.retry_cold and Y0 is not None)
         if self.warm_start:
             self._Y = res.Y
         u0 = res.U[:nu]
@@ -514,15 +504,14 @@ class MPCController:
             primal = d2.assemble(x=x, D=D0, Qp=Qp)
             dual = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
                                    cfg.precision)
+            # certify-or-recover (see __init__) runs INSIDE the solve —
+            # one compiled solve graph, retry attempt taken only at
+            # runtime.  (The previous lax.cond form duplicated the whole
+            # solve graph per scan step and crashed the TPU worker's
+            # compile at H=512, ROADMAP #10.)
             res = solve_batched(primal, dual,
-                                Y0=jnp.maximum(Y, floor), cfg=cfg)
-            if retry:
-                # certify-or-recover (see __init__): re-solve cold when
-                # the warm attempt fails certification
-                res = lax.cond(
-                    res.converged[0], lambda _: res,
-                    lambda _: solve_batched(primal, dual, Y0=Y_cold,
-                                            cfg=cfg), None)
+                                Y0=jnp.maximum(Y, floor), cfg=cfg,
+                                retry_cold=retry)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             # next-step warm start honors the controller's mode
@@ -567,14 +556,11 @@ class MPCController:
             delta = u_prev - u_base
             Kp = sd0.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
             sd = dataclasses.replace(sd0, Kp=Kp)
+            # certify-or-recover inside the solve dispatch (see the
+            # condensed rollout's comment; same single-call-site fix)
             res = solve_stagewise(sd, x[:, None],
-                                  Y0=jnp.maximum(Y, floor), cfg=cfg)
-            if retry:
-                # certify-or-recover (see __init__)
-                res = lax.cond(
-                    res.converged[0], lambda _: res,
-                    lambda _: solve_stagewise(sd, x[:, None], Y0=Y_cold,
-                                              cfg=cfg), None)
+                                  Y0=jnp.maximum(Y, floor), cfg=cfg,
+                                  retry_cold=retry)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             if warm_mode == "shift":

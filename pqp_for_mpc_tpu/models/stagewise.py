@@ -384,12 +384,13 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
     return Fp, Mp, Fd, Md
 
 
-@partial(jax.jit, static_argnames=("cfg", "pscan"))
+@partial(jax.jit, static_argnames=("cfg", "pscan", "retry_cold"))
 def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
                     dseq: Optional[jax.Array] = None,
                     Y0: Optional[jax.Array] = None,
                     cfg: SolverConfig = SolverConfig(),
-                    pscan: Optional[bool] = None) -> SolveResult:
+                    pscan: Optional[bool] = None,
+                    retry_cold: bool = False) -> SolveResult:
     """Run the PQP dual iteration matrix-free over a batch of initial
     states.  ``x0``: (ns,) or (ns, B); ``dseq``: optional (H, nd, B).
     Returns a :class:`SolveResult` with ``U (H*nu, B)``, ``Y (N, B)``.
@@ -496,6 +497,7 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
             fail = fail | weak
         return ~fail, U, feas, Jp, Jd
 
+    warm = Y0 is not None
     if Y0 is None:
         Y0 = jnp.full((N, B), cfg.y0, jnp.float32)
     else:
@@ -537,20 +539,27 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         Y = run_updates(Y, done)
         return (Y, done, h + jnp.int32(k), iters, div)
 
-    done0 = jnp.zeros((B,), bool)
-    it0 = jnp.zeros((B,), jnp.int32)
-    div0 = jnp.zeros((B,), bool)
-    Y, done, h, iters, div = lax.while_loop(
-        cond, body, (Y0, done0, jnp.int32(1), it0, div0))
+    def solve_once(Y0f):
+        done0 = jnp.zeros((B,), bool)
+        it0 = jnp.zeros((B,), jnp.int32)
+        div0 = jnp.zeros((B,), bool)
+        Y, done, h, iters, div = lax.while_loop(
+            cond, body, (Y0f, done0, jnp.int32(1), it0, div0))
 
-    ok, U, feas, Jp, Jd = check(Y)
-    bad = ~jnp.all(jnp.isfinite(Y), axis=0)
-    newly_bad = bad & ~done
-    div = div | newly_bad
-    newly = ok & ~done & ~bad
-    iters = jnp.where(newly | newly_bad, h, iters)
-    done = done | ok | bad
-    iters = jnp.where(done, iters, h)
-    return SolveResult(U=U.reshape(H * nu, B), Y=Y, iters=iters,
-                       converged=done & ~div, feasible=feas,
-                       Jp=Jp, Jd=Jd, diverged=div)
+        ok, U, feas, Jp, Jd = check(Y)
+        bad = ~jnp.all(jnp.isfinite(Y), axis=0)
+        newly_bad = bad & ~done
+        div = div | newly_bad
+        newly = ok & ~done & ~bad
+        iters = jnp.where(newly | newly_bad, h, iters)
+        done = done | ok | bad
+        iters = jnp.where(done, iters, h)
+        return SolveResult(U=U.reshape(H * nu, B), Y=Y, iters=iters,
+                           converged=done & ~div, feasible=feas,
+                           Jp=Jp, Jd=Jd, diverged=div)
+
+    if retry_cold and warm:
+        from pqp_for_mpc_tpu.solver import retry_cold_solve
+        Y_cold = jnp.full((N, B), cfg.y0, jnp.float32)
+        return retry_cold_solve(solve_once, Y0, Y_cold)
+    return solve_once(Y0)

@@ -235,10 +235,61 @@ def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
     return ~fail, U, feas, Jp, Jd
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def merge_lanes(ok, res_a, res_b):
+    """Per-lane select between two :class:`SolveResult`s (or any pytrees
+    of ``(.., B)`` / ``(B,)`` arrays): lane ``i`` takes ``res_a`` where
+    ``ok[i]`` else ``res_b`` — the certify-or-recover merge."""
+    def pick(a, b):
+        m = ok[None, :] if a.ndim == 2 else ok
+        return jnp.where(m, a, b)
+    return jax.tree.map(pick, res_a, res_b)
+
+
+def retry_cold_solve(solve_fn, Y_warm: jax.Array,
+                     Y_cold: jax.Array) -> SolveResult:
+    """Certify-or-recover with ONE compiled solve instance.
+
+    ``solve_fn: Y0 (N, B) -> SolveResult``.  Attempt 0 solves from
+    ``Y_warm``; when any lane fails the four-part certification, a second
+    attempt re-enters the SAME graph with a per-lane ``Y0`` — certified
+    lanes keep their solution (they re-certify at the first check),
+    failed lanes reset to ``Y_cold`` — and the results merge per lane.
+
+    The attempt loop is a ``lax.while_loop``, so the solve graph is
+    compiled ONCE and the second attempt exists only at runtime (and
+    only when taken).  The previous formulation — ``lax.cond`` whose
+    cold branch duplicated the whole while-loop-of-associative-scan
+    solve graph — reproducibly crashed the TPU worker when compiled at
+    H=512 (ROADMAP #10); this one is the candidate fix named there.
+
+    ``iters``/costs of a retried lane report the attempt that produced
+    its result (same semantics the ``lax.cond`` form had).
+    """
+    dummy = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                         jax.eval_shape(solve_fn, Y_warm))
+
+    def cond(state):
+        attempt, res = state
+        return jnp.logical_and(attempt < 2, ~jnp.all(res.converged))
+
+    def body(state):
+        attempt, res = state
+        Y0 = jnp.where(attempt == 0, Y_warm,
+                       jnp.where(res.converged[None, :], res.Y, Y_cold))
+        out = solve_fn(Y0)
+        # attempt 0: dummy.converged is all-False, so the merge passes
+        # `out` through verbatim
+        return attempt + 1, merge_lanes(res.converged, res, out)
+
+    _, merged = lax.while_loop(cond, body, (jnp.int32(0), dummy))
+    return merged
+
+
+@partial(jax.jit, static_argnames=("cfg", "retry_cold"))
 def solve_batched(primal: PrimalQP, dual: DualQP,
                   Y0: Optional[jax.Array] = None,
-                  cfg: SolverConfig = SolverConfig()) -> SolveResult:
+                  cfg: SolverConfig = SolverConfig(),
+                  retry_cold: bool = False) -> SolveResult:
     """Solve a batch of PQP instances sharing constraint geometry.
 
     ``primal.Fp`` / ``dual.Fd`` may be ``(M,)``/``(N,)`` (one instance) or
@@ -250,12 +301,17 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
 
     ``Y0`` enables warm starting (receding-horizon MPC); defaults to the
     reference's cold start ``Y = y0 * ones`` (PQP_CPU.c:710).
+
+    ``retry_cold`` (requires a warm ``Y0``): any lane that fails the
+    four-part certification is re-solved once from the cold start inside
+    the same dispatch (:func:`retry_cold_solve`) — no host sync, no
+    duplicated solve graph.
     """
-    prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
     N = dual.n_con
     B = _as2d(dual.Fd).shape[1] if dual.Fd.ndim == 2 else 1
     if dual.Qd.ndim == 3:
         B = dual.Qd.shape[0]
+    warm = Y0 is not None
     if Y0 is None:
         Y0 = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
     else:
@@ -269,6 +325,19 @@ def solve_batched(primal: PrimalQP, dual: DualQP,
             raise ValueError(
                 f"warm start batch {Y0.shape[1]} != instance batch {B}")
 
+    if retry_cold and warm:
+        Y_cold = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
+        return retry_cold_solve(
+            lambda y0: _solve_core(primal, dual, y0, cfg), Y0, Y_cold)
+    return _solve_core(primal, dual, Y0, cfg)
+
+
+def _solve_core(primal: PrimalQP, dual: DualQP, Y0: jax.Array,
+                cfg: SolverConfig) -> SolveResult:
+    """The masked-lane while loop on a normalized ``Y0 (N, B)``."""
+    prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
+    N = dual.n_con
+    B = Y0.shape[1]
     k = cfg.check_every
 
     use_pallas = cfg.use_pallas and dual.Qd.ndim == 2

@@ -533,3 +533,24 @@ def test_controller_retry_cold_stagewise_backend():
                          warm_start_floor=1e6, retry_cold=True)
     out = ctrl.rollout_jit(x0, steps=6)
     assert bool(out["converged"].all()), out["iters"]
+
+
+def test_controller_retry_cold_h512_compiles():
+    """The H=512 retry_cold rollout graph compiles and runs (ROADMAP
+    #10 / VERDICT r2 task 2: the old lax.cond form DUPLICATED the
+    while-loop-of-associative-scan solve per scan step and reproducibly
+    crashed the TPU worker's compile at this horizon; the single-call-
+    site retry_cold_solve keeps one solve instance).  Tiny iteration
+    budget — this pins compile+run, not certification."""
+    import dataclasses
+    from pqp_for_mpc_tpu.config import stagewise_mpc_config
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _di_spec(512)
+    cfg = dataclasses.replace(stagewise_mpc_config(512), max_iters=64,
+                              check_every=16, accel_every=8)
+    ctrl = MPCController(spec, cfg=cfg, backend="stagewise",
+                         warm_start="shift", retry_cold=True)
+    out = ctrl.rollout_jit(np.array([2.0, 0.0], np.float32), steps=2)
+    assert out["u"].shape == (2, 1)
+    assert np.isfinite(out["x"]).all()
