@@ -28,8 +28,28 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def backend_config(H: int, backend: str):
+    """Each backend runs at ITS OWN float32 certification floor.
+
+    The stage-wise floors (config.stagewise_mpc_config) tightened 10-20x
+    in round 3 thanks to the operator-consistent split recovery
+    (stagewise.recover); the condensed path's dense recovery
+    ``-Qp_inv(Fp + Gp'Y)`` keeps the reference's float program
+    (computeUfromY, PQP_CPU.c:352-360) whose forcing-scale noise needs
+    the round-2-era slack ~4e-5*H.  Equal tolerances would either fail
+    the condensed rows or hand the stage-wise ones free slack."""
+    import dataclasses
+    from pqp_for_mpc_tpu.config import MPC_CONFIG, stagewise_mpc_config
+    if backend == "stagewise":
+        return stagewise_mpc_config(H)
+    if H <= 32:
+        return MPC_CONFIG
+    slack = min(4e-5 * H, 1e-2)
+    return dataclasses.replace(MPC_CONFIG, erc=slack, eac=slack,
+                               erj=1e-3, eaj=1e-2, max_iters=20_000)
+
+
 def bench_backend(H: int, backend: str, steps: int) -> dict:
-    from pqp_for_mpc_tpu.config import stagewise_mpc_config
     from pqp_for_mpc_tpu.models import MPCController, MPCSpec
     from pqp_for_mpc_tpu.models import double_integrator
 
@@ -41,15 +61,14 @@ def bench_backend(H: int, backend: str, steps: int) -> dict:
         u_min=np.array([-1.0], np.float32),
         u_max=np.array([1.0], np.float32),
         du_max=np.array([0.5], np.float32))
-    cfg = stagewise_mpc_config(H)
-    # H=512 runs cold-started: warm-shift and cold certify the same
-    # ~30-33% of steps there (measured — the binder is per-step QP
-    # difficulty at f32 tolerances once the trajectory saturates u and
-    # the stage-0 slew bound goes negative, not warm-start poisoning),
-    # and the in-graph certify-or-recover retry's doubled graph crashes
-    # this TPU worker at H=512 (fine at H<=128; ROADMAP #10).
+    cfg = backend_config(H, backend)
+    # Round 3: every horizon runs warm-shift + in-graph cold retry —
+    # the single-call-site retry graph compiles at any horizon
+    # (solver.retry_cold_solve) and the r3 fix bundle (banded-exact
+    # split, momentum accel, operator-consistent recovery) certifies
+    # H=512 fully at tolerances 10x tighter than round 2's.
     ctrl = MPCController(spec, cfg=cfg, backend=backend,
-                         warm_start=False if H >= 512 else "shift")
+                         warm_start="shift", retry_cold=True)
     x0 = np.array([2.0, 0.0], np.float32)
     build_t0 = time.perf_counter()
     out = ctrl.rollout_jit(x0, steps=steps)      # compile + first run

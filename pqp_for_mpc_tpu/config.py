@@ -142,28 +142,29 @@ def stagewise_mpc_config(horizon: int) -> SolverConfig:
     """MPC_CONFIG with tolerances lifted to the float32 certification
     floor of the stage-wise (matrix-free) path at the given horizon.
 
-    The floors are conditioning effects, not solver slack: kappa(Qp)
-    grows ~H^4 for a marginally stable plant, the recovered primal's
-    feasibility residual stalls at ~kappa*eps relative to the bound
-    scale (measured on the double integrator: certified at 1e-4 up to
-    H ~ 32, ~2.5e-3 at H=128, ~4e-3 at H=512), and the duality gap is a
-    difference of O(kappa*eps)-noisy objectives so gap/|Jd| has a
-    scale-invariant floor ~1e-2 at H=128.  Below the floor the iterate
-    reaches an exact float32 fixed point and certification never fires;
-    see tests/test_stagewise.py for the measurements.  The slack model
-    here (linear in H, clamped) is deliberately conservative for
-    well-damped plants — pass an explicit cfg to tighten."""
+    Round 2 needed slack ~4e-5*H (1e-2 at H=512) because the primal
+    recovery re-solved ``kkt(Fp + G'Y)`` — the O(|Fp|)-scale forcing
+    went through the f32 Riccati scans at every check and its noise
+    (~5e-3 at H=512) landed in the feasibility residual, while the
+    loose rank-1 dual split needed >20k iterations to approach the
+    optimum at all.  Round 3 removed both binders (banded-exact split +
+    momentum accel + the operator-consistent split recovery
+    ``U = -(QiF + kkt(G'Y))``, see stagewise.py): the H=512 double
+    integrator now certifies erc=1e-4 cold in ~200 iterations with the
+    EXTERNALLY-evaluated violation tracking the certificate (2.2e-5
+    measured).  The remaining floor is the f32 noise of the small-
+    magnitude dual-gradient evaluation, ~1e-5/stage-coupling — the
+    slack model below keeps an order of margin for saturated
+    closed-loop steps (slew bounds driven negative, ROADMAP #10)."""
     if horizon <= 32:
         return MPC_CONFIG
-    slack = min(4e-5 * horizon, 1e-2)
+    slack = min(2e-6 * horizon, 1e-3)
     # Gap tolerances: with gap_from_complementarity (on in MPC_CONFIG)
     # the relative-gap noise floor is ~1e-5 regardless of horizon (it
-    # never touches the Mp/Md constants), so erj=1e-3 certifies with
-    # two orders of margin; the feasibility slack above is the true
-    # horizon-dependent binder.  (Under the explicit gap these would
-    # need to be erj~1e-2 / eaj~1e-1.)
+    # never touches the Mp/Md constants); erj=1e-3 keeps two orders of
+    # margin and eaj=1e-3 is 10x round 2's.
     return dataclasses.replace(
-        MPC_CONFIG, erc=slack, eac=slack, erj=1e-3, eaj=1e-2,
+        MPC_CONFIG, erc=slack, eac=slack, erj=1e-3, eaj=1e-3,
         max_iters=20_000)
 
 

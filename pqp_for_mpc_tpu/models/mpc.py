@@ -272,7 +272,8 @@ class MPCController:
         # backend: "condensed" (dense Qd, the reference's formulation) or
         # "stagewise" (matrix-free O(H) path, models/stagewise.py — for
         # long horizons where the dense (4*H*nu)^2 dual is prohibitive;
-        # input box + slew constraints only).  The stage-wise default
+        # input box + slew + hard output bounds; slack-softened outputs
+        # are condensed-only).  The stage-wise default
         # cfg lifts tolerances to the horizon's float32 certification
         # floor (stagewise_mpc_config); pass an explicit cfg to
         # override.
@@ -362,9 +363,13 @@ class MPCController:
         for _ in range(4):
             segs.append(shift_block(Y2[off:off + H * nu], nu))
             off += H * nu
-        if self.data is not None and self.data.Kx is not None:
+        has_out = (self.data.Kx is not None) if self.data is not None \
+            else (spec.y_min is not None or spec.y_max is not None)
+        if has_out:
             # 2 output blocks, plus 2 slack-positivity blocks when soft
-            n_blocks = 4 if spec.soft_penalty is not None else 2
+            # (soft is condensed-only)
+            n_blocks = 4 if (self.data is not None
+                             and spec.soft_penalty is not None) else 2
             for _ in range(n_blocks):
                 segs.append(shift_block(Y2[off:off + H * ny], ny))
                 off += H * ny

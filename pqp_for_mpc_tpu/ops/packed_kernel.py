@@ -77,7 +77,7 @@ def _kernel(cfg_tuple, dims, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
             md_ref, y0_ref, valid_ref, y_out, u_out, it_out, st_out,
             y_scr, st_scr, it_scr):
     (max_iters, check_every, accel_every, eaj, erj, strict, den_eps,
-     precision) = cfg_tuple
+     precision, gap_comp) = cfg_tuple
     G, seg8, n_pad, m_pad = dims
     NP = G * n_pad
     MP = G * m_pad
@@ -137,13 +137,22 @@ def _kernel(cfg_tuple, dims, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
         gpu = dot(gp, u)
         nviol = seg_n((gpu > kps).astype(f32))
         feas = nviol == 0.0
-        jd = 0.5 * seg_n(y * dot(qd, y)) + seg_n(fd * y) + 0.5 * md_row
+        s1 = seg_n(y * dot(qd, y))                        # Y'QdY per seg
+        s2 = seg_n(fd * y)                                # Fd'Y per seg
+        jd = 0.5 * s1 + s2 + 0.5 * md_row
         jp = 0.5 * seg_m(u * dot(qp, u)) + seg_m(fp * u) + 0.5 * mp_row
-        gap = jp + jd
+        if gap_comp:
+            # complementarity gap Y'(Qd Y + Fd) per segment
+            # (SolverConfig.gap_from_complementarity)
+            gap = s1 + s2
+            weak_fail = gap > 0.0
+        else:
+            gap = jp + jd
+            weak_fail = jp > -jd
         fail = (jnp.logical_not(feas) | (gap > eaj)
                 | (gap / jnp.abs(jd) > erj))
         if strict:
-            fail = fail | (jp > -jd)
+            fail = fail | weak_fail
         return jnp.logical_not(fail), u                   # (seg8, bb)
 
     n_chunks = max(1, check_every // max(accel_every, 1)) \
@@ -257,13 +266,14 @@ def _pad_sq(A, size, diag):
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "check_every", "accel_every",
                               "eaj", "erj", "strict", "den_eps",
-                              "precision", "interpret", "block_b"))
+                              "precision", "gap_comp", "interpret",
+                              "block_b"))
 def fused_full_solve_packed(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                             Fp, Fd, Fdp, Fdn, Kp_slack, Mp, Md, Y0,
                             *, max_iters: int, check_every: int,
                             accel_every: int = 0, eaj: float = 1e-6,
                             erj: float = 1e-6, strict: bool = True,
-                            den_eps: float = 1e-30,
+                            den_eps: float = 1e-30, gap_comp: bool = False,
                             precision: str = "highest",
                             interpret: bool = False,
                             block_b: int | None = None):
@@ -334,7 +344,7 @@ def fused_full_solve_packed(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                                    memory_space=pltpu.VMEM)
 
     cfg_tuple = (max_iters, check_every, accel_every, eaj, erj, strict,
-                 den_eps, precision)
+                 den_eps, precision, gap_comp)
     y, u, iters, st = pl.pallas_call(
         functools.partial(_kernel, cfg_tuple, (G, seg8, n_pad, m_pad)),
         grid=grid,
@@ -407,13 +417,18 @@ def solve_fused_packed(primal, dual, Y0=None, cfg=None,
         max_iters=cfg.max_iters, check_every=cfg.check_every,
         accel_every=cfg.accel_every, eaj=cfg.eaj, erj=cfg.erj,
         strict=cfg.strict_weak_duality, den_eps=cfg.den_eps,
-        precision=cfg.precision, interpret=interpret)
+        precision=cfg.precision,
+        gap_comp=cfg.gap_from_complementarity, interpret=interpret)
     prec = (lax.Precision.HIGHEST if cfg.precision == "highest" else None)
     feas = feasibility(primal, U, cfg.erc, cfg.eac, prec)
     Jp, Jd = costs(primal, dual, Y, U, prec)
     div = ~jnp.all(jnp.isfinite(Y), axis=0)
     cert = lane_state == 1.0
-    fail = termination_fail(feas, Jp, Jd, cfg)
+    # rescue verdict honors cfg.gap_from_complementarity (ADVICE r2 #1)
+    from pqp_for_mpc_tpu.solver import complementarity_gap
+    gap = (complementarity_gap(dual, Y, prec)
+           if cfg.gap_from_complementarity else None)
+    fail = termination_fail(feas, Jp, Jd, cfg, gap)
     conv = (cert | ~fail) & ~div
     return SolveResult(U=U, Y=Y, iters=iters, converged=conv,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)

