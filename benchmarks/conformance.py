@@ -75,10 +75,22 @@ def main():
     dev = str(jax.devices()[0])
     ok_all = True
     for N in [int(s) for s in args.sizes.split(",")]:
+      for mode in ("reference", "complementarity"):
+        # "reference": the reference's exact termination semantics
+        # (strict weak duality, explicit Jp+Jd gap).  "complementarity":
+        # the production MPC certification (gap_from_complementarity,
+        # strict off) — round 3 taught the kernels this estimator
+        # (VERDICT r2 task 4); its better conditioning makes the
+        # Mosaic-vs-XLA verdicts far less razor-edge.
+        gc = mode == "complementarity"
         M = max(8, N // 3)
         primal, dual = build(N, M, args.b, seed=N)
-        cfg = SolverConfig(max_iters=args.max_iters, check_every=16)
+        cfg = SolverConfig(max_iters=args.max_iters, check_every=16,
+                           strict_weak_duality=not gc,
+                           gap_from_complementarity=gc)
         cfg_k = SolverConfig(max_iters=args.max_iters, check_every=16,
+                             strict_weak_duality=not gc,
+                             gap_from_complementarity=gc,
                              use_pallas=True)
 
         def timed(fn):
@@ -104,7 +116,7 @@ def main():
         cadence = cfg.check_every
         row = {
             "bench": "pallas_xla_conformance", "device": dev,
-            "N": N, "M": M, "B": args.b,
+            "N": N, "M": M, "B": args.b, "mode": mode,
             "xla_converged": int(cx.sum()),
             "fused_converged": int(cf.sum()),
             "update_kernel_converged": int(ck.sum()),

@@ -224,11 +224,16 @@ def packed_batch_block(G: int, n_pad: int, m_pad: int, b_pack: int,
     accounting as solve_kernel_batch_block with NP/MP-sized panels; the
     vreg cap is per packed column, which carries G lanes' rows)."""
     NP, MP = G * n_pad, G * m_pad
+    seg8 = _round_up(G, _SUBLANE)
     mats = (3 * NP * NP + NP * MP + 2 * MP * MP) * 4
     avail = budget - mats
     if avail <= 0:
         return 0
-    per_col = (2 * MP + 6 * NP + 5 * _SUBLANE) * 4 * 2 + 3 * NP * 4
+    # per-segment scalar tiles are (seg8, bb) — seg8 can exceed
+    # _SUBLANE when G > 8 — and two of the three scratch buffers are
+    # (seg8, bb), not (NP, bb) (ADVICE r2 #4)
+    per_col = (2 * MP + 6 * NP + 5 * seg8) * 4 * 2 \
+        + (NP + 2 * seg8) * 4
     bb = avail // per_col
     bb = (bb // _LANE) * _LANE
     vreg_cap = max(_LANE, (256 * 1024 // (3 * NP)) // _LANE * _LANE)

@@ -195,7 +195,12 @@ def termination_fail(feas: jax.Array, Jp: jax.Array, Jd: jax.Array,
     ``None`` uses the reference's explicit ``Jp + Jd``.  The weak-duality
     test keeps the reference's exact comparison form (``Jp > -Jd``) only
     in explicit mode — with a precomputed gap it is ``gap > 0``, the
-    same predicate on the better-conditioned estimate."""
+    same predicate on the better-conditioned estimate.  NOTE (ADVICE r2
+    #3): the complementarity estimator is nonnegative in exact
+    arithmetic at feasible points, so under it ``strict_weak_duality``
+    certifies only when float rounding lands the gap at or below zero —
+    it adds essentially no slack beyond the two-sided gap tests and is
+    best left False with a precomputed gap (MPC_CONFIG does)."""
     if gap is None:
         gap = Jp + Jd
         weak_fail = lambda: Jp > -Jd

@@ -58,6 +58,28 @@ def test_full_solve_kernel_matches_solver(batched_example):
                                rtol=1e-4, atol=2e-3)
 
 
+def test_full_solve_kernel_gap_from_complementarity(batched_example):
+    """VERDICT r2 task 4: the in-kernel termination test honors
+    ``cfg.gap_from_complementarity`` — the production MPC certification
+    mode can ride the fast path, with the kernel and the XLA reference
+    certifying identical iteration counts under the same estimator."""
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual, B = batched_example
+    cfg = SolverConfig(max_iters=5000, check_every=8,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    ref = solve_batched(primal, dual, cfg=cfg)
+    res = solve_fused(primal, dual, cfg=cfg, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_full_solve_kernel_with_accel(batched_example):
     from pqp_for_mpc_tpu import SolverConfig
     from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
