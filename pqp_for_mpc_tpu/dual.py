@@ -89,9 +89,11 @@ def dualize_forcing(geom: dict, Fp: jax.Array, Mp: jax.Array,
                   Fdp=jnp.maximum(Fd, 0.0), Fdn=jnp.maximum(-Fd, 0.0))
 
 
-@partial(jax.jit, static_argnames=("theta_floor", "precision"))
+@partial(jax.jit, static_argnames=("theta_floor", "precision",
+                                   "materialize_splits"))
 def dualize_distinct(primal: PrimalQP, theta_floor: float = 5.0,
-                     precision: str = "highest") -> DualQP:
+                     precision: str = "highest",
+                     materialize_splits: bool = True) -> DualQP:
     """:func:`dualize` for a batch of fully distinct instances — the
     reference's own benchmark workload is exactly this shape (one random
     geometry per instance, testing/test_generator.c:997-998).
@@ -100,7 +102,13 @@ def dualize_distinct(primal: PrimalQP, theta_floor: float = 5.0,
     ``Gp (B, N, M)``), vectors a TRAILING one (``Fp (M, B)``,
     ``Kp (N, B)`` or shared ``(N,)``) — matching what
     :func:`pqp_for_mpc_tpu.solver.solve_batched`'s einsum path and the
-    distinct-geometry Pallas kernel consume.
+    distinct-geometry Pallas kernels consume.
+
+    ``materialize_splits=False`` skips the ``Qd^± + θ`` matrices
+    (``None`` in the result) — required at large N where each split is
+    ``B·N²·4`` bytes; the streamed kernel
+    (:mod:`pqp_for_mpc_tpu.ops.distinct_tiled_kernel`) reconstructs
+    them per slab and only needs ``Qd`` + ``theta``.
     """
     p = _prec(precision)
     B = primal.Qp.shape[0]
@@ -110,16 +118,18 @@ def dualize_distinct(primal: PrimalQP, theta_floor: float = 5.0,
     Kp2 = primal.Kp if primal.Kp.ndim == 2 else primal.Kp[:, None]
     GQi = jnp.einsum("bnm,bmk->bnk", primal.Gp, primal.Qp_inv, precision=p)
     Qd = jnp.einsum("bnm,bkm->bnk", GQi, primal.Gp, precision=p)
-    Qd_pos = jnp.maximum(Qd, 0.0)
-    Qd_neg = jnp.maximum(-Qd, 0.0)
-    theta = jnp.maximum(jnp.sum(Qd_neg, axis=2), theta_floor)   # (B, N)
-    eye = jnp.eye(N, dtype=Qd.dtype)
+    theta = jnp.maximum(jnp.sum(jnp.maximum(-Qd, 0.0), axis=2),
+                        theta_floor)                            # (B, N)
     Fd = jnp.einsum("bnm,mb->nb", GQi, Fp2, precision=p) + Kp2
     QiF = jnp.einsum("bmk,kb->mb", primal.Qp_inv, Fp2, precision=p)
     Md = jnp.sum(Fp2 * QiF, axis=0) - primal.Mp
+    Qdp_theta = Qdn_theta = None
+    if materialize_splits:
+        eye = jnp.eye(N, dtype=Qd.dtype)
+        Qdp_theta = jnp.maximum(Qd, 0.0) + theta[:, :, None] * eye
+        Qdn_theta = jnp.maximum(-Qd, 0.0) + theta[:, :, None] * eye
     return DualQP(Qd=Qd, Fd=Fd, Md=Md, theta=theta,
-                  Qdp_theta=Qd_pos + theta[:, :, None] * eye,
-                  Qdn_theta=Qd_neg + theta[:, :, None] * eye,
+                  Qdp_theta=Qdp_theta, Qdn_theta=Qdn_theta,
                   Fdp=jnp.maximum(Fd, 0.0), Fdn=jnp.maximum(-Fd, 0.0))
 
 

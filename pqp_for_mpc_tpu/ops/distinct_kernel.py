@@ -50,7 +50,10 @@ from pqp_for_mpc_tpu.ops.kernels import (_LANE, _SUBLANE, _round_up,
                                          VMEM_LIMIT_BYTES)
 
 #: operand budget for ONE instance's matrices (double-buffered by the
-#: pipeline, hence half the shared kernel's 40 MiB)
+#: pipeline, hence half the shared kernel's 40 MiB).  Instances beyond
+#: it use the STREAMED whole-solve kernel
+#: (:mod:`pqp_for_mpc_tpu.ops.distinct_tiled_kernel`) — per-instance
+#: Qd_hat slabs hand-DMA'd from HBM, validated at N=4096.
 DISTINCT_OPERAND_BUDGET = 20 * 1024 * 1024
 
 

@@ -1,0 +1,101 @@
+"""Streamed distinct-geometry whole-solve kernel (interpret mode).
+
+Must reproduce the einsum path's convergence on distinct batches — the
+kernel's target regime (instances beyond the ~20 MiB VMEM-resident
+budget) is exercised on hardware by benchmarks/bench_distinct.py
+--streamed; interpret mode pins the semantics on sizes spanning
+multiple row slabs."""
+
+import numpy as np
+import pytest
+
+
+def _distinct_problem(B, M, N, seed=0):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.dual import dualize_distinct
+    from pqp_for_mpc_tpu.problem import PrimalQP
+
+    rng = np.random.default_rng(seed)
+    Qps, Gps, Fps, Kps = [], [], [], []
+    for _ in range(B):
+        L = rng.standard_normal((M, M)).astype(np.float32)
+        Qps.append(L @ L.T + M * np.eye(M, dtype=np.float32))
+        Gps.append(rng.standard_normal((N, M)).astype(np.float32))
+        Fps.append(rng.standard_normal(M).astype(np.float32) * 3)
+        Kps.append(rng.uniform(1.0, 8.0, N).astype(np.float32))
+    primal = PrimalQP(
+        Qp=jnp.asarray(np.stack(Qps)),
+        Qp_inv=jnp.asarray(np.stack([np.linalg.inv(q) for q in Qps])
+                           .astype(np.float32)),
+        Fp=jnp.asarray(np.stack(Fps, axis=1)),
+        Mp=jnp.zeros((B,), jnp.float32),
+        Gp=jnp.asarray(np.stack(Gps)),
+        Kp=jnp.asarray(np.stack(Kps, axis=1)))
+    dual = dualize_distinct(primal, materialize_splits=False)
+    assert dual.Qdp_theta is None   # large-N contract: splits never built
+    return primal, dual
+
+
+@pytest.mark.parametrize("gap_comp", [False, True])
+def test_streamed_distinct_matches_einsum_path(gap_comp):
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.dual import dualize_distinct
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
+        solve_fused_distinct_tiled
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    # N=384 spans 3 row slabs
+    primal, dual = _distinct_problem(B=4, M=128, N=384)
+    cfg = SolverConfig(max_iters=4000, check_every=8,
+                       strict_weak_duality=not gap_comp,
+                       gap_from_complementarity=gap_comp)
+    # reference: the einsum path needs the materialized splits
+    dual_full = dualize_distinct(primal)
+    ref = solve_batched(primal, dual_full, cfg=cfg)
+    res = solve_fused_distinct_tiled(primal, dual, cfg=cfg,
+                                     interpret=True)
+    assert int(np.asarray(res.converged).sum()) \
+        == int(np.asarray(ref.converged).sum()), \
+        (res.iters, ref.iters)
+    both = np.asarray(res.converged) & np.asarray(ref.converged)
+    np.testing.assert_allclose(np.asarray(res.U)[:, both],
+                               np.asarray(ref.U)[:, both],
+                               rtol=1e-4, atol=2e-3)
+    it_r, it_k = np.asarray(ref.iters), np.asarray(res.iters)
+    assert (it_r == it_k).mean() >= 0.75, (it_r, it_k)
+
+
+def test_streamed_distinct_per_instance_early_exit():
+    """A batch mixing a trivially-warm instance with a cold one: the
+    warm instance certifies at its first check (its stream STOPS — the
+    einsum path would keep streaming it until the cold one finishes)."""
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
+        solve_fused_distinct_tiled
+    import jax.numpy as jnp
+
+    primal, dual = _distinct_problem(B=3, M=96, N=256, seed=7)
+    cfg = SolverConfig(max_iters=4000, check_every=8,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    cold = solve_fused_distinct_tiled(primal, dual, cfg=cfg,
+                                      interpret=True)
+    assert bool(np.asarray(cold.converged).all()), cold.stats()
+    warm = solve_fused_distinct_tiled(primal, dual, Y0=cold.Y, cfg=cfg,
+                                      interpret=True)
+    assert (np.asarray(warm.iters) <= 1 + cfg.check_every).all(), \
+        warm.iters
+
+
+def test_streamed_distinct_rejects_accel():
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
+        solve_fused_distinct_tiled
+
+    primal, dual = _distinct_problem(B=2, M=32, N=64)
+    with pytest.raises(ValueError, match="accel_every"):
+        solve_fused_distinct_tiled(
+            primal, dual,
+            cfg=SolverConfig(check_every=8, accel_every=4),
+            interpret=True)
