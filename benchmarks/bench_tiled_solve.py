@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--b", type=int, default=128)
     ap.add_argument("--max-iters", type=int, default=20000)
     ap.add_argument("--check-every", type=int, default=16)
+    ap.add_argument("--accel", action="store_true",
+                    help="accel_every = check_every on BOTH paths")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -76,11 +78,12 @@ def main():
     N, M, B = args.n, args.m, args.b
     primal, dual = build(N, M, B)
     k = args.check_every
+    ae = k if args.accel else 0
     cfg = SolverConfig(max_iters=args.max_iters, check_every=k,
-                       strict_weak_duality=False,
+                       accel_every=ae, strict_weak_duality=False,
                        gap_from_complementarity=True)
     cfg_up = SolverConfig(max_iters=args.max_iters, check_every=k,
-                          strict_weak_duality=False,
+                          accel_every=ae, strict_weak_duality=False,
                           gap_from_complementarity=True, use_pallas=True)
 
     paths = {
@@ -105,7 +108,7 @@ def main():
     rx = results["xla"]
     row = {"bench": "tiled_whole_solve", "device": dev,
            "N": N, "M": M, "B": B, "max_iters": args.max_iters,
-           "check_every": args.check_every,
+           "check_every": args.check_every, "accel": args.accel,
            "mode": "complementarity"}
     for name in paths:
         r = results[name]

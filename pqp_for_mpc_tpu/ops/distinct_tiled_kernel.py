@@ -60,8 +60,8 @@ def _kernel(cfg_tuple, dims,
             y0_ref,
             y_out, u_out, it_out, st_out,
             y_scr, num_scr, den_scr, u_scr, slab, sem):
-    (max_iters, check_every, eaj, erj, strict, den_eps, precision,
-     gap_comp) = cfg_tuple
+    (max_iters, check_every, accel, eaj, erj, strict, den_eps,
+     precision, gap_comp) = cfg_tuple
     bn, nblocks, n_pad, m_pad = dims
     f32 = jnp.float32
     prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
@@ -161,6 +161,40 @@ def _kernel(cfg_tuple, dims,
             fail = fail | weak_fail
         return jnp.logical_not(fail)
 
+    def qd_row(x):
+        """``x Qd`` (row form) via one stream pass.  ``x`` is a VALUE,
+        staged through ``den_scr`` (free during the accel step) because
+        Mosaic cannot lower dynamic_slice on values, only on refs;
+        ``num_scr`` accumulates."""
+        den_scr[:] = x
+        num_scr[:] = jnp.zeros_like(num_scr)
+
+        def blk(i, s):
+            q = s[:, :n_pad]
+            num_scr[:] = num_scr[:] + dot(den_scr[:, pl.ds(i * bn, bn)],
+                                          q)
+
+        stream(blk)
+        return num_scr[:] - theta_ref[0] * den_scr[:]
+
+    def accel_step(y):
+        """The corrected projected-gradient accel (solver.accel_step)
+        in row form: three stream passes (grad, p'Qd p, safeguard) —
+        the price of acceleration beyond VMEM residency.  Runs at the
+        check cadence (accel_every == check_every), matching the XLA
+        path's chunk ordering so trajectories agree."""
+        fd = fd_ref[0]
+        grad = qd_row(y) + fd
+        p = jnp.where((y > 0.0) | (grad < 0.0), -grad, 0.0)
+        pQp = jnp.sum(p * qd_row(p)) * inv8
+        alpha = jnp.where(pQp > 0,
+                          jnp.sum(p * p) * inv8
+                          / jnp.maximum(pQp, 1e-30), 0.0)
+        yn = jnp.maximum(y + alpha * p, 0.0)
+        fY = 0.5 * jnp.sum(y * (grad + fd)) * inv8
+        fYn = (0.5 * jnp.sum(yn * qd_row(yn)) + jnp.sum(fd * yn)) * inv8
+        return jnp.where(jnp.broadcast_to(fYn <= fY, y.shape), yn, y)
+
     y_scr[:] = y0_ref[0]
     u_scr[:] = jnp.zeros_like(u_scr)
 
@@ -176,6 +210,9 @@ def _kernel(cfg_tuple, dims,
 
         y_old = y_scr[:]
         y_new = lax.fori_loop(0, check_every, upd, y_old)
+        if accel:
+            y_scr[:] = y_new          # qd_row streams read y via closure
+            y_new = accel_step(y_new)
         stalled = jnp.sum(jnp.abs(y_new - y_old)) == 0.0
         frozen = jnp.logical_and(jnp.logical_not(ok), stalled)
         st = jnp.where(frozen, f32(2.0), st)
@@ -203,13 +240,14 @@ def _kernel(cfg_tuple, dims,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every", "eaj", "erj",
-                              "strict", "den_eps", "precision",
-                              "gap_comp", "interpret"))
+    jax.jit, static_argnames=("max_iters", "check_every", "accel",
+                              "eaj", "erj", "strict", "den_eps",
+                              "precision", "gap_comp", "interpret"))
 def fused_full_solve_distinct_tiled(Qd, theta, Gp, Qp, Qp_inv,
                                     Fp, Fd, Fdp, Fdn, Kp_slack, Mp, Md,
                                     Y0, *, max_iters: int,
-                                    check_every: int, eaj: float = 1e-6,
+                                    check_every: int, accel: bool = False,
+                                    eaj: float = 1e-6,
                                     erj: float = 1e-6,
                                     strict: bool = True,
                                     den_eps: float = 1e-30,
@@ -277,8 +315,8 @@ def fused_full_solve_distinct_tiled(Qd, theta, Gp, Qp, Qp_inv,
     blk = lambda r_, c: pl.BlockSpec((1, r_, c), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM)
 
-    cfg_tuple = (max_iters, check_every, eaj, erj, strict, den_eps,
-                 precision, gap_comp)
+    cfg_tuple = (max_iters, check_every, accel, eaj, erj, strict,
+                 den_eps, precision, gap_comp)
     dims = (bn, n_pad // bn, n_pad, m_pad)
     y, u, iters, st = pl.pallas_call(
         functools.partial(_kernel, cfg_tuple, dims),
@@ -325,9 +363,11 @@ def solve_fused_distinct_tiled(primal, dual, Y0=None, cfg=None,
                                         feasibility, termination_fail)
 
     cfg = cfg or SolverConfig()
-    if cfg.accel_every:
-        raise ValueError("solve_fused_distinct_tiled does not support "
-                         "accel_every; use solve_batched's einsum path")
+    if cfg.accel_every not in (0, cfg.check_every):
+        raise ValueError(
+            "solve_fused_distinct_tiled supports accel_every in "
+            "{0, check_every} (the accel runs at the check cadence; "
+            "each step costs three extra Hessian streams)")
     if dual.Qd.ndim != 3:
         raise ValueError("solve_fused_distinct_tiled needs Qd (B, N, N)")
     B, N, _ = dual.Qd.shape
@@ -356,6 +396,7 @@ def solve_fused_distinct_tiled(primal, dual, Y0=None, cfg=None,
         Fp2, Fd2, jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
         jnp.broadcast_to(_as2d(dual.Fdn), (N, B)), kp_slack, Mp2, Md2,
         Y0, max_iters=cfg.max_iters, check_every=cfg.check_every,
+        accel=cfg.accel_every > 0,
         eaj=cfg.eaj, erj=cfg.erj, strict=cfg.strict_weak_duality,
         den_eps=cfg.den_eps, precision=cfg.precision,
         gap_comp=cfg.gap_from_complementarity, interpret=interpret)

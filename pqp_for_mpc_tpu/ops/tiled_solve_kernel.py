@@ -36,11 +36,11 @@ launches, let alone a convergence decision.
 
 Restrictions: shared geometry, ``check_every`` EVEN (the Jacobi
 ping-pong must return to the primary panel at round boundaries),
-``accel_every == 0`` (the projected-gradient accel would need two more
-full streams per step; use the XLA orchestration when accel matters
-more than launch/stream overhead).  ``M`` (primal dim) must fit VMEM
-residency for Qp/Qp⁻¹ — true for the constraint families here
-(N = 3…4·M).
+``accel_every`` either 0 or ``check_every`` — the projected-gradient
+accel runs in-kernel at the check cadence at the price of three extra
+Hessian streams per step (gradient, curvature ``p'Qd p``, safeguard).
+``M`` (primal dim) must fit VMEM residency for Qp/Qp⁻¹ — true for the
+constraint families here (N = 3…4·M).
 """
 
 from __future__ import annotations
@@ -90,8 +90,8 @@ def _kernel(cfg_tuple, dims,
             y_out, u_out, it_out, st_out,
             ya, yb, qdy, v_scr, u_scr, st_scr, it_scr, diff_scr,
             qslab, gslab, qsem, gsem):
-    (max_iters, check_every, eaj, erj, strict, den_eps, precision,
-     gap_comp) = cfg_tuple
+    (max_iters, check_every, accel, eaj, erj, strict, den_eps,
+     precision, gap_comp) = cfg_tuple
     bn, nblocks, n_pad, m_pad = dims
     f32 = jnp.float32
     prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
@@ -219,6 +219,45 @@ def _kernel(cfg_tuple, dims,
         st_scr[:] = full8(st)
         it_scr[:] = full8(it)
 
+    def qd_col(x):
+        """``Qd x`` via one Qd_hat stream pass; result lands in qdy
+        (overwritten by the next check pass anyway).  ``x`` is a VALUE,
+        staged through ``yb`` (free during the accel step — the round's
+        fresh iterate sits in ``ya``) because Mosaic cannot lower
+        dynamic_slice on values, only on refs."""
+        yb[:] = x
+
+        def blk(i, q):
+            th = theta_ref[pl.ds(i * bn, bn), 0:1]
+            qdy[pl.ds(i * bn, bn), :] = \
+                dot(q, yb[:]) - th * yb[pl.ds(i * bn, bn), :]
+
+        stream(blk, with_gp=False)
+        return qdy[:]
+
+    def accel_step(y, done_row):
+        """The corrected projected-gradient accel (solver.accel_step):
+        three stream passes per step, run at the check cadence
+        (accel_every == check_every) to match the XLA path's chunk
+        ordering."""
+        fd = fd_ref[:]
+        grad = qd_col(y) + fd
+        p = jnp.where((y > 0.0) | (grad < 0.0), -grad, 0.0)
+        pQp = jnp.sum(p * qd_col(p), axis=0, keepdims=True)
+        alpha = jnp.where(pQp > 0,
+                          jnp.sum(p * p, axis=0, keepdims=True)
+                          / jnp.maximum(pQp, 1e-30), 0.0)
+        yn = jnp.maximum(y + alpha * p, 0.0)
+        fY = 0.5 * jnp.sum(y * (grad + fd), axis=0, keepdims=True)
+        fYn = (0.5 * jnp.sum(yn * qd_col(yn), axis=0, keepdims=True)
+               + jnp.sum(fd * yn, axis=0, keepdims=True))
+        keep = (fYn <= fY) & jnp.logical_not(done_row)
+        yn = jnp.where(jnp.broadcast_to(keep, y.shape), yn, y)
+        # accel movement counts against the stall detector
+        diff_scr[:] = diff_scr[:] + full8(
+            jnp.sum(jnp.abs(yn - y), axis=0, keepdims=True))
+        return yn
+
     # --- init (per batch block; scratch is not carried across grid) ---
     ya[:] = y0_ref[:]
     st_scr[:] = jnp.where(valid_ref[:] == 0.0, f32(3.0), f32(0.0))
@@ -245,6 +284,8 @@ def _kernel(cfg_tuple, dims,
 
         lax.fori_loop(0, check_every, upd, None)
         # check_every is even => the fresh iterate is back in ya
+        if accel:
+            ya[:] = accel_step(ya[:], row(st_scr[:]) > 0.0)
         st = row(st_scr[:])
         stalled = (row(diff_scr[:]) == 0.0) & (st == 0.0)
         it = jnp.where(stalled, h + f32(check_every), row(it_scr[:]))
@@ -276,12 +317,14 @@ def _kernel(cfg_tuple, dims,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every", "eaj", "erj",
-                              "strict", "den_eps", "precision",
-                              "gap_comp", "interpret", "block_b"))
+    jax.jit, static_argnames=("max_iters", "check_every", "accel",
+                              "eaj", "erj", "strict", "den_eps",
+                              "precision", "gap_comp", "interpret",
+                              "block_b"))
 def fused_full_solve_tiled(Qd, theta, Gp, Qp, Qp_inv, Fp, Fd, Fdp, Fdn,
                            Kp_slack, Mp, Md, Y0, *,
                            max_iters: int, check_every: int,
+                           accel: bool = False,
                            eaj: float = 1e-6, erj: float = 1e-6,
                            strict: bool = True, den_eps: float = 1e-30,
                            precision: str = "highest",
@@ -357,8 +400,8 @@ def fused_full_solve_tiled(Qd, theta, Gp, Qp, Qp_inv, Fp, Fd, Fdp, Fdn,
     panel = lambda r: pl.BlockSpec((r, bb), lambda b: (0, b),
                                    memory_space=pltpu.VMEM)
 
-    cfg_tuple = (max_iters, check_every, eaj, erj, strict, den_eps,
-                 precision, gap_comp)
+    cfg_tuple = (max_iters, check_every, accel, eaj, erj, strict,
+                 den_eps, precision, gap_comp)
     dims = (bn, n_pad // bn, n_pad, m_pad)
     y, u, iters, state = pl.pallas_call(
         functools.partial(_kernel, cfg_tuple, dims),
@@ -410,10 +453,11 @@ def solve_fused_tiled(primal, dual, Y0=None, cfg=None,
                                         feasibility, termination_fail)
 
     cfg = cfg or SolverConfig()
-    if cfg.accel_every:
-        raise ValueError("solve_fused_tiled does not support accel_every "
-                         "(two extra full Hessian streams per step); "
-                         "use solve_batched(use_pallas=True)")
+    if cfg.accel_every not in (0, cfg.check_every):
+        raise ValueError(
+            "solve_fused_tiled supports accel_every in {0, check_every} "
+            "(the accel runs at the check cadence; each step costs "
+            "three extra Hessian streams)")
     if dual.Qd.ndim != 2:
         raise ValueError("solve_fused_tiled requires shared Qd geometry")
     N = dual.n_con
@@ -438,6 +482,7 @@ def solve_fused_tiled(primal, dual, Y0=None, cfg=None,
         Fd2, jnp.broadcast_to(_as2d(dual.Fdp), (N, B)),
         jnp.broadcast_to(_as2d(dual.Fdn), (N, B)), kp_slack, Mp2, Md2,
         Y0, max_iters=cfg.max_iters, check_every=cfg.check_every,
+        accel=cfg.accel_every > 0,
         eaj=cfg.eaj, erj=cfg.erj, strict=cfg.strict_weak_duality,
         den_eps=cfg.den_eps, precision=cfg.precision,
         gap_comp=cfg.gap_from_complementarity, interpret=interpret,

@@ -88,7 +88,35 @@ def test_streamed_distinct_per_instance_early_exit():
         warm.iters
 
 
-def test_streamed_distinct_rejects_accel():
+def test_streamed_distinct_accel_matches_einsum():
+    """In-kernel accel at the check cadence (accel_every ==
+    check_every): same solutions and near-identical iteration counts as
+    the XLA einsum path with the same cfg."""
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.dual import dualize_distinct
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
+        solve_fused_distinct_tiled
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual = _distinct_problem(B=4, M=128, N=384, seed=2)
+    cfg = SolverConfig(max_iters=4000, check_every=8, accel_every=8,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    ref = solve_batched(primal, dualize_distinct(primal), cfg=cfg)
+    res = solve_fused_distinct_tiled(primal, dual, cfg=cfg,
+                                     interpret=True)
+    assert int(np.asarray(res.converged).sum()) \
+        == int(np.asarray(ref.converged).sum())
+    both = np.asarray(res.converged) & np.asarray(ref.converged)
+    np.testing.assert_allclose(np.asarray(res.U)[:, both],
+                               np.asarray(ref.U)[:, both],
+                               rtol=1e-4, atol=2e-3)
+    it_r, it_k = np.asarray(ref.iters), np.asarray(res.iters)
+    assert (np.abs(it_r.astype(np.int64) - it_k)
+            <= cfg.check_every).mean() >= 0.75, (it_r, it_k)
+
+
+def test_streamed_distinct_rejects_mismatched_accel():
     from pqp_for_mpc_tpu import SolverConfig
     from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
         solve_fused_distinct_tiled

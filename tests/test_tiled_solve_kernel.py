@@ -80,6 +80,31 @@ def test_tiled_whole_solve_warm_start_and_early_exit():
                                rtol=0, atol=0)
 
 
+def test_tiled_whole_solve_with_accel_matches_solver():
+    """In-kernel accel at the check cadence: same solutions and
+    near-identical iteration counts as the XLA path with the same cfg
+    (accel_every == check_every)."""
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
+    from pqp_for_mpc_tpu.solver import solve_batched
+
+    primal, dual = _random_problem(N=384, M=128, B=40, seed=5)
+    cfg = SolverConfig(max_iters=4000, check_every=8, accel_every=8,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    ref = solve_batched(primal, dual, cfg=cfg)
+    res = solve_fused_tiled(primal, dual, cfg=cfg, interpret=True)
+    assert int(np.asarray(res.converged).sum()) \
+        == int(np.asarray(ref.converged).sum())
+    both = np.asarray(res.converged) & np.asarray(ref.converged)
+    np.testing.assert_allclose(np.asarray(res.U)[:, both],
+                               np.asarray(ref.U)[:, both],
+                               rtol=1e-4, atol=2e-3)
+    it_r, it_k = np.asarray(ref.iters), np.asarray(res.iters)
+    assert (np.abs(it_r.astype(np.int64) - it_k)
+            <= cfg.check_every).mean() >= 0.75, (it_r, it_k)
+
+
 def test_tiled_whole_solve_rejects_bad_config():
     from pqp_for_mpc_tpu import SolverConfig
     from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
