@@ -211,13 +211,18 @@ def cmd_rollout(args) -> int:
 
     plant = ZOO[args.plant]()
     ny, nu = plant.n_output, plant.n_input
+    y_bound = getattr(args, "y_max", None)
     spec = MPCSpec(
         plant=plant, horizon=args.horizon,
         Qy=np.eye(ny, dtype=np.float32),
         R=0.05 * np.eye(nu, dtype=np.float32),
         r=np.zeros(ny, np.float32),
         u_min=-np.ones(nu, np.float32), u_max=np.ones(nu, np.float32),
-        du_max=0.5 * np.ones(nu, np.float32))
+        du_max=0.5 * np.ones(nu, np.float32),
+        y_min=None if y_bound is None
+        else np.full(ny, -y_bound, np.float32),
+        y_max=None if y_bound is None
+        else np.full(ny, y_bound, np.float32))
     backend = getattr(args, "backend", "condensed")
     ctrl = MPCController(
         spec, backend=backend,
@@ -411,6 +416,9 @@ def main(argv=None) -> int:
     p.add_argument("--jit", action="store_true",
                    help="run the whole closed loop as one lax.scan "
                         "dispatch (no per-step host round-trips)")
+    p.add_argument("--y-max", type=float, default=None,
+                   help="symmetric output (state) bound |y| <= Y_MAX "
+                        "— hard constraint rows on either backend")
     p.set_defaults(fn=cmd_rollout)
 
     p = sub.add_parser("serve", help="JSON-lines solver daemon on stdio")

@@ -86,3 +86,17 @@ def test_rollout_jit_cli(capsys):
     assert rc == 0
     assert rec["steps"] == 10
     assert rec["iters_max"] < 50_000
+
+
+def test_rollout_cli_output_bound(capsys):
+    """--y-max adds hard output rows on either backend (stage-wise
+    here, matrix-free since round 3)."""
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator", "--horizon",
+               "12", "--steps", "6", "--jit", "--backend", "stagewise",
+               "--y-max", "1.5"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rc == 0
+    assert rec["backend"] == "stagewise"

@@ -61,3 +61,10 @@ def test_long_horizon_mpc(capsys):
     out = capsys.readouterr().out
     assert "steps/s" in out
     assert "certified 100%" in out
+
+
+def test_constrained_outputs_mpc(capsys):
+    _run("constrained_outputs_mpc.py", ["48", "20"])
+    out = capsys.readouterr().out
+    assert "certified 100%" in out
+    assert "bound honored: True" in out
