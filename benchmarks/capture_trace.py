@@ -29,6 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="benchmarks/traces")
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--kernel", choices=("resident", "tiled_solve"),
+                    default="resident",
+                    help="resident = example-sized whole-solve kernel; "
+                         "tiled_solve = the N=4096 streamed single "
+                         "launch (ops/tiled_solve_kernel.py)")
     args = ap.parse_args()
 
     import jax
@@ -40,18 +45,40 @@ def main():
     from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
     from pqp_for_mpc_tpu.utils.profiling import trace
 
-    data = load_example_dir("/root/reference/example")
-    B = args.batch
-    rng = np.random.default_rng(0)
-    x = (np.asarray(data.x, np.float32)[:, None]
-         + rng.normal(0, 0.3, (29, B)).astype(np.float32))
-    primal = data.assemble(x=jnp.asarray(x),
-                           Qp=jnp.linalg.inv(data.Qp_inv))
-    dual = dualize(primal)
-    cfg = pqp.SolverConfig(max_iters=2000, check_every=16)
-    jax.block_until_ready(solve_fused(primal, dual, cfg=cfg))  # warm
+    if args.kernel == "tiled_solve":
+        from pqp_for_mpc_tpu.ops.tiled_solve_kernel import \
+            solve_fused_tiled
+        from pqp_for_mpc_tpu.problem import PrimalQP
+        N, M, B = 4096, 1024, 128
+        rng = np.random.default_rng(0)
+        Q = rng.normal(0, 1, (M, M)).astype(np.float32)
+        Qp = Q @ Q.T + M * np.eye(M, dtype=np.float32)
+        primal = PrimalQP(
+            Qp=jnp.asarray(Qp),
+            Qp_inv=jnp.asarray(np.linalg.inv(Qp)),
+            Fp=jnp.asarray(rng.normal(0, 3, (M, B)).astype(np.float32)),
+            Mp=jnp.zeros((B,), jnp.float32),
+            Gp=jnp.asarray(rng.normal(0, 1, (N, M)).astype(np.float32)),
+            Kp=jnp.asarray(rng.uniform(1, 10, N).astype(np.float32)))
+        dual = dualize(primal)
+        cfg = pqp.SolverConfig(max_iters=20000, check_every=16,
+                               accel_every=16, strict_weak_duality=False,
+                               gap_from_complementarity=True)
+        run = lambda: solve_fused_tiled(primal, dual, cfg=cfg)
+    else:
+        data = load_example_dir("/root/reference/example")
+        B = args.batch
+        rng = np.random.default_rng(0)
+        x = (np.asarray(data.x, np.float32)[:, None]
+             + rng.normal(0, 0.3, (29, B)).astype(np.float32))
+        primal = data.assemble(x=jnp.asarray(x),
+                               Qp=jnp.linalg.inv(data.Qp_inv))
+        dual = dualize(primal)
+        cfg = pqp.SolverConfig(max_iters=2000, check_every=16)
+        run = lambda: solve_fused(primal, dual, cfg=cfg)
+    jax.block_until_ready(run())  # warm
     with trace(args.logdir):
-        res = jax.block_until_ready(solve_fused(primal, dual, cfg=cfg))
+        res = jax.block_until_ready(run())
     print("converged:", int(np.asarray(res.converged).sum()), "/", B,
           " mean iters:", float(np.asarray(res.iters).mean()))
 
