@@ -293,6 +293,50 @@ def test_stagewise_rejects_soft_outputs():
         stagewise_dual(spec)
 
 
+def test_stagewise_mimo_matches_condensed():
+    """nu > 1 / ny > 1 exercise the banded split's block structure
+    (the (H, w, nu, nu) band tensors, channel-coupled slew rows, and —
+    with output bounds — the mixed-width in/out band blocks): a
+    3-input/3-output mass-spring-damper chain must reproduce the
+    condensed solver's solution."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models import MPCSpec, mass_spring_damper
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
+
+    plant = mass_spring_damper(3)
+    spec = MPCSpec(
+        plant=plant, horizon=10,
+        Qy=np.eye(3, dtype=np.float32),
+        R=0.05 * np.eye(3, dtype=np.float32),
+        r=np.array([0.3, -0.2, 0.1], np.float32),
+        u_min=-np.ones(3, np.float32),
+        u_max=np.ones(3, np.float32),
+        du_max=0.4 * np.ones(3, np.float32),
+        y_min=np.full(3, -0.25, np.float32),
+        y_max=np.full(3, 0.25, np.float32))
+    cfg = SolverConfig(max_iters=100_000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-3, erj=1e-5, erc=1e-3, eac=1e-3,
+                       strict_weak_duality=False)
+    rng = np.random.default_rng(4)
+    # positions well inside the y-bound (it applies from stage 1, so an
+    # initial position near ±0.25 would make the QP infeasible)
+    x0 = np.concatenate([
+        rng.uniform(-0.12, 0.12, (3, 2)),
+        rng.uniform(-0.3, 0.3, (3, 2))]).astype(np.float32)
+    ref, _ = _condensed_solve(spec, x0, cfg)
+    assert bool(np.asarray(ref.converged).all()), ref.stats()
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    assert sd.n_con == 4 * 10 * 3 + 2 * 10 * 3
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.Jp), np.asarray(ref.Jp),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_pscan_kkt_matches_sequential():
     """Temporal-parallel (associative-scan) KKT recursions == the
     sequential scans, for all three recursions (kkt_solve, rollout,
