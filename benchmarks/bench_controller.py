@@ -7,11 +7,11 @@ crossover evidence for the stage-wise backend: the condensed dual is
 (4*H*nu)^2 dense, so its per-iteration cost grows O(H^2) while the
 matrix-free path grows O(H log H) (pscan) with O(H) memory.
 
-Both backends run the same conditioning-appropriate tolerances
-(config.stagewise_mpc_config) so converged work per step is comparable.
-At H=512 the condensed backend is skipped by default: its (2048)^2
-dual takes minutes to converge per cold solve at these tolerances
-(the point of the stage-wise path).
+Each backend runs at ITS OWN float32 certification floor (see
+``backend_config`` — since round 3 the stage-wise floors are 10-20x
+tighter than the condensed path's).  At H=512 the condensed backend is
+skipped by default: its (2048)^2 dual takes minutes to converge per
+cold solve (the point of the stage-wise path).
 
 Writes benchmarks/CONTROLLER_BENCH_r{round}.json.
 """
