@@ -272,8 +272,8 @@ class MPCController:
         # backend: "condensed" (dense Qd, the reference's formulation) or
         # "stagewise" (matrix-free O(H) path, models/stagewise.py — for
         # long horizons where the dense (4*H*nu)^2 dual is prohibitive;
-        # input box + slew + hard output bounds; slack-softened outputs
-        # are condensed-only).  The stage-wise default
+        # full constraint surface: input box + slew + output bounds,
+        # hard or slack-softened).  The stage-wise default
         # cfg lifts tolerances to the horizon's float32 certification
         # floor (stagewise_mpc_config); pass an explicit cfg to
         # override.
@@ -367,9 +367,8 @@ class MPCController:
             else (spec.y_min is not None or spec.y_max is not None)
         if has_out:
             # 2 output blocks, plus 2 slack-positivity blocks when soft
-            # (soft is condensed-only)
-            n_blocks = 4 if (self.data is not None
-                             and spec.soft_penalty is not None) else 2
+            # (both backends use the same 4-block layout)
+            n_blocks = 4 if spec.soft_penalty is not None else 2
             for _ in range(n_blocks):
                 segs.append(shift_block(Y2[off:off + H * ny], ny))
                 off += H * ny

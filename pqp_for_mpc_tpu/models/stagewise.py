@@ -271,7 +271,7 @@ def _gt_apply(Y):
     return up - lo + Ttd
 
 
-@_pytree_dataclass(meta_fields=("n_con", "band"))
+@_pytree_dataclass(meta_fields=("n_con", "band", "soft_rho"))
 class StagewiseDual:
     """Matrix-free dual-geometry bundle: everything the PQP loop needs
     that depends only on (plant, costs, horizon).
@@ -307,6 +307,19 @@ class StagewiseDual:
     (``band_io``/``band_oi``/``band_oo``; all six Qd super-blocks are
     still signed copies of bases built from {I, T, C Su}).  ``None``
     when the spec has no output bounds.
+
+    Slack-softened output constraints (``spec.soft_penalty = rho``) add
+    one slack per y-row (the condensed layout, models/mpc.py): variables
+    ``(U, s+, s-)`` with primal Hessian ``blkdiag(Qp, 2 rho I, 2 rho I)``
+    and rows ``[.., Gy U - s+ <= b+, -Gy U - s- <= b-, -s+ <= 0,
+    -s- <= 0]``.  The slack-borne blocks of Qd are stage-local
+    ``+1/(2 rho)`` identity couplings among {y+, s+} and {y-, s-} — all
+    elementwise POSITIVE and handled EXACTLY by closed-form additions
+    to the Qd/|Qd| applies (``_with_soft``); slack rows have zero
+    coupling outside their stage-channel, so they contribute nothing to
+    the rank-1 tail (radius 0).  The slacks themselves are recovered
+    from the duals, ``s± = (Y_y± + Y_s±)/(2 rho) >= 0`` by
+    construction.  ``soft_rho = 0`` means hard bounds.
     """
 
     factor: StagewiseFactor
@@ -316,6 +329,7 @@ class StagewiseDual:
     band_abs: jax.Array   # (2, 2, H, 2*band+1, nu, nu)
     r_out: Optional[jax.Array] = None     # (H, ny) y-row radii
     theta_out: Optional[jax.Array] = None  # (2, H, ny)
+    theta_soft: Optional[jax.Array] = None  # (2, H, ny)
     band_io: Optional[jax.Array] = None   # (2, H, 2b+1, nu, ny)
     band_oi: Optional[jax.Array] = None   # (2, H, 2b+1, ny, nu)
     band_oo: Optional[jax.Array] = None   # (H, 2b+1, ny, ny)
@@ -323,10 +337,15 @@ class StagewiseDual:
     y_min: Optional[jax.Array] = None     # (ny,)
     n_con: int = 0
     band: int = 0
+    soft_rho: float = 0.0
 
     @property
     def has_y(self) -> bool:
         return self.r_out is not None
+
+    @property
+    def has_soft(self) -> bool:
+        return self.soft_rho > 0.0
 
 
 def _flat(Y):
@@ -356,15 +375,49 @@ def _g_apply_all(dual: StagewiseDual, U: jax.Array,
 
 def _gt_apply_all(dual: StagewiseDual, Yf: jax.Array,
                   precision=None, pscan: bool = False) -> jax.Array:
-    """Full adjoint ``G' Y`` for flat Y (n_con, B) -> (H, nu, B)."""
+    """u-space adjoint ``G_u' Y`` for flat Y (n_con, B) -> (H, nu, B).
+    Slack rows (soft outputs) have no u-columns and are ignored."""
     f = dual.factor
     H, nu = f.H, f.nu
     M4 = 4 * H * nu
     v = _gt_apply(_unflat(Yf[:M4], H, nu))
     if dual.has_y:
-        Yo = Yf[M4:].reshape(2, H, -1, Yf.shape[-1])
+        Hny = H * f.ny
+        Yo = Yf[M4:M4 + 2 * Hny].reshape(2, H, f.ny, Yf.shape[-1])
         v = v + _su_adjoint(f, Yo[0] - Yo[1], precision, pscan)
     return v
+
+
+def _soft_parts(dual: StagewiseDual, Yf: jax.Array):
+    """``(a, b) = ((Y_y+ + Y_s+)/(2 rho), (Y_y- + Y_s-)/(2 rho))`` —
+    equal to the recovered slacks s± AND to the slack-borne rows of
+    Qd·Y (the couplings are +1/(2 rho) among {y+, s+} / {y-, s-})."""
+    f = dual.factor
+    Hny = f.H * f.ny
+    M4 = 4 * f.H * f.nu
+    inv2rho = 1.0 / (2.0 * dual.soft_rho)
+    y4 = Yf[M4:M4 + Hny]
+    y5 = Yf[M4 + Hny:M4 + 2 * Hny]
+    y6 = Yf[M4 + 2 * Hny:M4 + 3 * Hny]
+    y7 = Yf[M4 + 3 * Hny:]
+    return (y4 + y6) * inv2rho, (y5 + y7) * inv2rho
+
+
+def _with_soft(dual: StagewiseDual, base: jax.Array, Yf: jax.Array):
+    """Extend a Qd·Y (or |Qd|-bound) apply with the exact slack-borne
+    terms: ``base`` covers the u-borne rows [input; y+; y-]; the slack
+    couplings add ``a``/``b`` to the y rows and ARE the s rows."""
+    if not dual.has_soft:
+        return base
+    f = dual.factor
+    Hny = f.H * f.ny
+    M4 = 4 * f.H * f.nu
+    a, b = _soft_parts(dual, Yf)
+    return jnp.concatenate([
+        base[:M4],
+        base[M4:M4 + Hny] + a,
+        base[M4 + Hny:] + b,
+        a, b], axis=0)
 
 
 def _auto_band(absK: np.ndarray, rvec2: np.ndarray, H: int,
@@ -497,10 +550,7 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     (see the class docstring); hard bounds only — ``soft_penalty``
     (slack-softened outputs) remains condensed-only."""
     has_y = spec.y_min is not None or spec.y_max is not None
-    if has_y and spec.soft_penalty is not None:
-        raise NotImplementedError(
-            "soft (slack-penalized) output constraints need the "
-            "condensed path; the stage-wise path solves hard bounds")
+    soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
     f = riccati_factor(spec)
     H, nu = f.H, f.nu
     M = H * nu
@@ -611,34 +661,42 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     e1u = jnp.zeros((H, nu), jnp.float32).at[0].set(uprev)
     Kp = jnp.stack([umax, -umin, dmax + e1u, dmax - e1u], axis=0)
 
-    n_con = 4 * M + (2 * H * ny if has_y else 0)
+    n_con = 4 * M + (2 * H * ny if has_y else 0) \
+        + (2 * H * ny if soft_rho else 0)
     sd = StagewiseDual(factor=f, r_vec=r_vec,
                        theta=jnp.zeros_like(r_vec), Kp=Kp,
                        band_abs=band_abs, r_out=r_out,
                        theta_out=theta_out, band_io=band_io,
                        band_oi=band_oi, band_oo=band_oo,
                        y_max=y_max, y_min=y_min,
-                       n_con=n_con, band=band)
+                       n_con=n_con, band=band, soft_rho=soft_rho)
 
     # theta_i = max(rowsum(N)_i, floor) with N = (D - Qd)/2 the hybrid
     # split's negative part (D >= |Qd| >= Qd^- elementwise, so this
     # dominates the reference's rowsum(Qd^-) rule, PQP_CPU.c:503-519,
-    # and converges to it as band -> H-1).
+    # and converges to it as band -> H-1).  Qd1 and D1 both carry the
+    # exact slack terms via _with_soft, so soft rows get theta from the
+    # same rule.
     ones = jnp.ones((n_con, 1), jnp.float32)
-    qd1 = _g_apply_all(sd, kkt_solve(f, _gt_apply_all(sd, ones,
-                                                      pscan=pscan),
-                                     pscan=pscan), pscan=pscan)[:, 0]
+    qd1 = _with_soft(sd, _g_apply_all(
+        sd, kkt_solve(f, _gt_apply_all(sd, ones, pscan=pscan),
+                      pscan=pscan), pscan=pscan), ones)[:, 0]
     two_u = 2.0 * jnp.ones((H, nu, 1), jnp.float32)
     two_y = 2.0 * jnp.ones((H, ny, 1), jnp.float32) if has_y else None
     D1_box, D1_slew, D1_y = _absqd_apply(sd, two_u, two_u, two_y)
-    D1 = _flat(jnp.stack([D1_box, D1_box, D1_slew, D1_slew]))[:, 0]
+    D1 = _flat(jnp.stack([D1_box, D1_box, D1_slew, D1_slew]))
     if has_y:
-        D1 = jnp.concatenate([D1, _flat(jnp.stack([D1_y, D1_y]))[:, 0]])
+        D1 = jnp.concatenate([D1, _flat(jnp.stack([D1_y, D1_y]))])
+    D1 = _with_soft(sd, D1, ones)[:, 0]
     th_all = jnp.maximum(0.5 * (D1 - qd1), theta_floor)
     theta = th_all[:4 * M].reshape(4, H, nu)
+    theta_soft = None
     if has_y:
-        theta_out = th_all[4 * M:].reshape(2, H, ny)
-    return dataclasses.replace(sd, theta=theta, theta_out=theta_out)
+        theta_out = th_all[4 * M:4 * M + 2 * H * ny].reshape(2, H, ny)
+    if soft_rho:
+        theta_soft = th_all[4 * M + 2 * H * ny:].reshape(2, H, ny)
+    return dataclasses.replace(sd, theta=theta, theta_out=theta_out,
+                               theta_soft=theta_soft)
 
 
 def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
@@ -676,7 +734,14 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
         kp_y = jnp.stack([dual.y_max[None, :, None] - ybar,
                           ybar - dual.y_min[None, :, None]])
         kp_full = jnp.concatenate([kp_full, _flat(kp_y)], axis=0)
-    Fd = kp_full + _g_apply_all(dual, QiF, prec, pscan)    # (N, B)
+    GQiF = _g_apply_all(dual, QiF, prec, pscan)
+    if dual.has_soft:
+        # slack rows: bounds 0 and no u/forcing coupling (G row [0, -I],
+        # Qp_full^-1 Fp_full's slack part is 0)
+        zs = jnp.zeros((2 * f.H * f.ny, B_), jnp.float32)
+        kp_full = jnp.concatenate([kp_full, zs], axis=0)
+        GQiF = jnp.concatenate([GQiF, zs], axis=0)
+    Fd = kp_full + GQiF                                    # (N, B)
     return Fp, Mp, Fd, Md, QiF, kp_full
 
 
@@ -716,6 +781,9 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
     if dual.has_y:
         th_col = jnp.concatenate([th_col,
                                   _flat(dual.theta_out[..., None])])
+    if dual.has_soft:
+        th_col = jnp.concatenate([th_col,
+                                  _flat(dual.theta_soft[..., None])])
     kp_slack = kp_full + jnp.maximum(cfg.erc * kp_full, cfg.eac)
 
     def kkt_gty(Yf):
@@ -724,8 +792,11 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
                          prec, pscan)
 
     def qd_apply(Yf):
-        """Qd Y, flat (N, B) -> (N, B)."""
-        return _g_apply_all(dual, kkt_gty(Yf), prec, pscan)
+        """Qd Y, flat (N, B) -> (N, B) — u-borne part through the KKT
+        solve, slack-borne part closed-form (_with_soft)."""
+        return _with_soft(dual,
+                          _g_apply_all(dual, kkt_gty(Yf), prec, pscan),
+                          Yf)
 
     def update(Yf):
         """Multiplicative update under the banded-exact hybrid split
@@ -738,13 +809,16 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         Y4 = _unflat(Yf[:M4], H, nu)
         Yw = None
         if dual.has_y:
-            Yo = Yf[M4:].reshape(2, H, f.ny, -1)
+            Yo = Yf[M4:M4 + 2 * H * f.ny].reshape(2, H, f.ny, -1)
             Yw = Yo[0] + Yo[1]
         D_box, D_slew, D_y = _absqd_apply(dual, Y4[0] + Y4[1],
                                           Y4[2] + Y4[3], Yw, prec)
         DY = _flat(jnp.stack([D_box, D_box, D_slew, D_slew]))
         if dual.has_y:
             DY = jnp.concatenate([DY, _flat(jnp.stack([D_y, D_y]))])
+        # slack-borne |Qd| entries are positive, so the exact additions
+        # serve both the Qd apply and the |Qd| bound
+        DY = _with_soft(dual, DY, Yf)
         # num is >= 0 in exact arithmetic (D >= |Qd| entrywise); the
         # banded part is a float DIFFERENCE of two programs, so clamp
         # the eps-level negatives that would flip Y's sign
@@ -803,6 +877,19 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
     def check(Yf):
         U = recover(Yf)
         GU = _g_apply_all(dual, U, prec, pscan)
+        s_pen = 0.0
+        if dual.has_soft:
+            # slacks recovered from the duals (class docstring);
+            # consistent-operator style: the same quantities enter the
+            # Qd apply, so feasibility telescopes like the u-rows'
+            sa, sb = _soft_parts(dual, Yf)
+            Hny = H * f.ny
+            GU = jnp.concatenate([
+                GU[:M4],
+                GU[M4:M4 + Hny] - sa, GU[M4 + Hny:] - sb,
+                -sa, -sb], axis=0)
+            s_pen = dual.soft_rho * (jnp.sum(sa * sa, axis=0)
+                                     + jnp.sum(sb * sb, axis=0))
         feas = jnp.all(GU <= kp_slack, axis=0)
         qdY = qd_apply(Yf)
         Jd = (0.5 * jnp.sum(Yf * qdY, axis=0)
@@ -821,7 +908,7 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
             axis=(0, 1))
         Ru = jax.vmap(lambda v: jnp.matmul(f.R, v, precision=prec))(U)
         quad = quad + jnp.sum(U * Ru, axis=(0, 1))
-        Jp = quad + jnp.sum(Fp * U, axis=(0, 1)) + 0.5 * Mp
+        Jp = quad + s_pen + jnp.sum(Fp * U, axis=(0, 1)) + 0.5 * Mp
         if cfg.gap_from_complementarity:
             # Jp(U(Y)) + Jd(Y) = Y'(Qd Y + Fd) exactly (the Mp/Md
             # constants cancel; SolverConfig.gap_from_complementarity).

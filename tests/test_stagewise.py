@@ -282,15 +282,43 @@ def test_stagewise_output_constraints_long_horizon():
     assert np.abs(U).max() <= 1.0 + 1e-3
 
 
-def test_stagewise_rejects_soft_outputs():
-    """Slack-softened output constraints remain condensed-only."""
+def test_stagewise_soft_outputs_match_condensed():
+    """Slack-softened output constraints, matrix-free: the instance is
+    INFEASIBLE under hard bounds (x0 = [1.8, 0.5] cannot brake inside
+    y <= 1.9 under the slew-limited input — the hard dual diverges),
+    so the soft QP is the only well-posed formulation; both backends
+    must agree on it."""
     import dataclasses
-    import pytest
-    from pqp_for_mpc_tpu.models.stagewise import stagewise_dual
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
 
-    spec = dataclasses.replace(_spec_y(H=8), soft_penalty=100.0)
-    with pytest.raises(NotImplementedError):
-        stagewise_dual(spec)
+    spec = dataclasses.replace(_spec_y(H=24), soft_penalty=50.0,
+                               r=np.zeros(1, np.float32))
+    cfg = SolverConfig(max_iters=100_000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-3, erj=1e-5, erc=1e-3, eac=1e-3,
+                       strict_weak_duality=False)
+    x0 = np.array([[1.8], [0.5]], np.float32)
+    ref, _ = _condensed_solve(spec, x0, cfg)
+    assert bool(np.asarray(ref.converged).all()), ref.stats()
+
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    assert sd.has_soft and sd.n_con == 4 * 24 + 4 * 24
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    # condensed U is [U; s] stacked (M + n_out rows); compare the input
+    # part and the optimal costs
+    U_ref = np.asarray(ref.U)[:24, :]
+    np.testing.assert_allclose(np.asarray(res.U), U_ref,
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.Jp), np.asarray(ref.Jp),
+                               rtol=1e-3, atol=1e-3)
+    # the soft bound is genuinely exceeded (that is what the slack buys)
+    from pqp_for_mpc_tpu.models.stagewise import rollout_states
+    xs = rollout_states(sd.factor, jnp.asarray(x0),
+                        jnp.asarray(np.asarray(res.U).reshape(24, 1, 1)))
+    assert np.asarray(xs)[:, 0, 0].max() > 1.9
 
 
 def test_stagewise_mimo_matches_condensed():
