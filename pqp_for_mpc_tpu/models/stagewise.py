@@ -856,26 +856,26 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         return (Yn, jnp.where(done[None, :], Yprev, Yf),
                 jnp.where(done, tm, jnp.where(restart, 1.0, tn)))
 
-    def recover(Yf):
-        """U = -(Qp^-1 Fp + Qp^-1 G'Y): (H, nu, B).
-
-        CRITICAL: the two terms are solved SEPARATELY and share QiF with
-        the Fd build (_forcing).  Fusing them into one
-        ``kkt_solve(Fp + G'Y)`` (round 2's form) puts the O(|Fp|)-scale
-        forcing through the scans on every check, and its f32 noise
-        (~5e-3 in constraint units at H=512, measured) lands directly in
-        the feasibility residual.  With the split form the residual
-        telescopes:  G U - Kp = -(Fd + Qd Y) + eps  — exactly the
-        negative dual gradient under the solver's own operator — so the
-        recovery noise CANCELS between Fd and U and the certified
-        violation tracks the dual residual (~1e-5), not the forcing
-        magnitude.  The reference has the same consistency by
-        construction (single Qp^-1 products reused, PQP_CPU.c:352-360,
-        632-641)."""
-        return -(QiF + kkt_gty(Yf))
-
     def check(Yf):
-        U = recover(Yf)
+        # Recovery U = -(QiF + Z) with Z = Qp^-1 G'Y.  CRITICAL: the
+        # two terms are solved SEPARATELY and share QiF with the Fd
+        # build (_forcing).  Fusing them into one ``kkt_solve(Fp +
+        # G'Y)`` (round 2's form) puts the O(|Fp|)-scale forcing
+        # through the scans on every check, and its f32 noise (~5e-3 in
+        # constraint units at H=512, measured) lands directly in the
+        # feasibility residual.  With the split form the residual
+        # telescopes:  G U - Kp = -(Fd + Qd Y) + eps  — exactly the
+        # negative dual gradient under the solver's own operator — so
+        # the recovery noise CANCELS between Fd and U and the certified
+        # violation tracks the dual residual (~1e-5), not the forcing
+        # magnitude.  The reference has the same consistency by
+        # construction (single Qp^-1 products reused, PQP_CPU.c:352-360,
+        # 632-641).  One shared inner solve Z serves both the recovery
+        # and Qd·Y = G(Z)+soft.
+        Z = kkt_gty(Yf)
+        U = -(QiF + Z)
+        qdY_shared = _with_soft(dual, _g_apply_all(dual, Z, prec, pscan),
+                                Yf)
         GU = _g_apply_all(dual, U, prec, pscan)
         s_pen = 0.0
         if dual.has_soft:
@@ -891,7 +891,7 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
             s_pen = dual.soft_rho * (jnp.sum(sa * sa, axis=0)
                                      + jnp.sum(sb * sb, axis=0))
         feas = jnp.all(GU <= kp_slack, axis=0)
-        qdY = qd_apply(Yf)
+        qdY = qdY_shared
         Jd = (0.5 * jnp.sum(Yf * qdY, axis=0)
               + jnp.sum(Fd * Yf, axis=0) + 0.5 * Md)
         # Jp via the definition 1/2 U'QpU + Fp'U + 1/2 Mp, with QpU
