@@ -34,7 +34,7 @@ from jax import lax
 import numpy as np
 
 from pqp_for_mpc_tpu.models.plants import LinearPlant
-from pqp_for_mpc_tpu.problem import CondensedMPCData, PrimalQP
+from pqp_for_mpc_tpu.problem import CondensedMPCData
 from pqp_for_mpc_tpu.config import SolverConfig
 from pqp_for_mpc_tpu.dual import dual_geometry, dualize, dualize_forcing
 from pqp_for_mpc_tpu.solver import SolveResult, solve_batched

@@ -35,7 +35,6 @@ PQP_CPU.c:338; costs in float32):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
