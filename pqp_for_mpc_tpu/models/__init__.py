@@ -1,12 +1,14 @@
 from pqp_for_mpc_tpu.models.plants import (  # noqa: F401
     ZOO,
     LinearPlant,
+    LTVPlant,
     aircraft_pitch,
     dc_motor,
     double_integrator,
     mass_spring_damper,
     quadruple_tank,
     random_stable,
+    stack_plant,
     thermal_rc,
 )
 from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401

@@ -42,13 +42,21 @@ from pqp_for_mpc_tpu.solver import SolveResult, solve_batched
 
 @dataclasses.dataclass(frozen=True)
 class MPCSpec:
-    """Cost and constraint specification for condensation."""
+    """Cost and constraint specification for condensation.
+
+    ``plant`` may be an LTI :class:`LinearPlant` or a time-varying
+    :class:`~pqp_for_mpc_tpu.models.plants.LTVPlant` (stacked per-stage
+    matrices, e.g. from successive linearization of a nonlinear plant —
+    examples/nonlinear_mpc.py); ``r`` may be a constant ``(ny,)``
+    reference or a per-stage ``(H, ny)`` trajectory.  Both backends
+    (condensed and stage-wise) accept either form.
+    """
 
     plant: LinearPlant
     horizon: int
     Qy: np.ndarray            # (ny, ny) output-tracking weight
     R: np.ndarray             # (nu, nu) input weight
-    r: np.ndarray             # (ny,) output reference
+    r: np.ndarray             # (ny,) or (H, ny) output reference
     u_min: np.ndarray         # (nu,)
     u_max: np.ndarray         # (nu,)
     du_max: np.ndarray        # (nu,) slew-rate bound
@@ -69,16 +77,51 @@ def prediction_matrices(plant: LinearPlant, H: int):
     """Stacked prediction:  X = Sx x0 + Su U + Sd Dseq  for x_1..x_H.
 
     Sx: (H*ns, ns); Su: (H*ns, H*nu) block lower-triangular with blocks
-    A^{i-j-1} B; Sd likewise with E.  Built by accumulating powers of A —
-    O(H) matmuls at trace time.
+    ``Phi(i, j+1) B_j`` (``Phi(a, b) = A_{a-1} ... A_b``, = A^{i-j-1} B
+    for LTI); Sd likewise with E.  Built by accumulating transition
+    products — O(H^2) small matmuls at trace time.  Accepts an LTI
+    :class:`~pqp_for_mpc_tpu.models.plants.LinearPlant` (2-D matrices)
+    or an :class:`~pqp_for_mpc_tpu.models.plants.LTVPlant` (stacked
+    3-D), the latter produced e.g. by successive linearization of a
+    nonlinear plant (examples/nonlinear_mpc.py).
     """
-    A = jnp.asarray(plant.A)
-    B = jnp.asarray(plant.B)
-    E = jnp.asarray(plant.E)
+    ltv = np.asarray(plant.A).ndim == 3
     ns, nu = plant.n_state, plant.n_input
     nd = plant.n_dist
 
-    # powers[i] = A^i, i = 0..H
+    if ltv:
+        if np.asarray(plant.A).shape[0] != H:
+            raise ValueError(
+                f"LTV plant horizon {np.asarray(plant.A).shape[0]} != {H}")
+        A = jnp.asarray(plant.A)
+        B = jnp.asarray(plant.B)
+        E = jnp.asarray(plant.E)
+        dt = A.dtype
+        zb = jnp.zeros((ns, nu), dt)
+        ze = jnp.zeros((ns, nd), dt)
+        Sx_rows, Su_rows, Sd_rows = [], [], []
+        sx = jnp.eye(ns, dtype=dt)
+        su = [zb] * H    # current row's blocks: Phi(i+1, j+1) B_j
+        sd = [ze] * H
+        for i in range(H):
+            sx = A[i] @ sx
+            su = [A[i] @ b for b in su[:i]] + su[i:]
+            sd = [A[i] @ b for b in sd[:i]] + sd[i:]
+            su[i] = B[i]
+            sd[i] = E[i]
+            Sx_rows.append(sx)
+            Su_rows.append(jnp.concatenate(su, axis=1))
+            Sd_rows.append(jnp.concatenate(sd, axis=1))
+        Sx = jnp.concatenate(Sx_rows, axis=0)                   # (H*ns, ns)
+        Su = jnp.concatenate(Su_rows, axis=0)                   # (H*ns, H*nu)
+        Sd = jnp.concatenate(Sd_rows, axis=0)                   # (H*ns, H*nd)
+        return Sx, Su, Sd
+
+    A = jnp.asarray(plant.A)
+    B = jnp.asarray(plant.B)
+    E = jnp.asarray(plant.E)
+
+    # powers[i] = A^i, i = 0..H — O(H) distinct products for LTI
     powers = [jnp.eye(ns, dtype=A.dtype)]
     for _ in range(H):
         powers.append(A @ powers[-1])
@@ -143,12 +186,22 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     M = H * nu
 
     Sx, Su, Sd = prediction_matrices(plant, H)
-    Cs = jnp.kron(jnp.eye(H, dtype=jnp.float32), jnp.asarray(plant.C))
+    C = jnp.asarray(plant.C, jnp.float32)
+    if C.ndim == 3:      # LTV: per-stage output maps, block-diagonal
+        Cs = jax.scipy.linalg.block_diag(*C)
+    else:
+        Cs = jnp.kron(jnp.eye(H, dtype=jnp.float32), C)
     Qbar = jnp.kron(jnp.eye(H, dtype=jnp.float32),
                     jnp.asarray(spec.Qy, jnp.float32))
     Rbar = jnp.kron(jnp.eye(H, dtype=jnp.float32),
                     jnp.asarray(spec.R, jnp.float32))
-    rbar = jnp.tile(jnp.asarray(spec.r, jnp.float32), H)         # (H*ny,)
+    r = jnp.asarray(spec.r, jnp.float32)
+    if r.ndim == 2:      # per-stage reference (H, ny)
+        if r.shape != (H, ny):
+            raise ValueError(f"reference shape {r.shape} != ({H}, {ny})")
+        rbar = r.reshape(-1)
+    else:
+        rbar = jnp.tile(r, H)                                    # (H*ny,)
 
     CSu = Cs @ Su        # (Hny, M)
     CSx = Cs @ Sx        # (Hny, ns)
@@ -227,7 +280,10 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         Qp_inv=Qp_inv, Fp1=Fp1, Fp2=Fp2, Fp3=Fp3,
         Mp1=Mp1, Mp2=Mp2, Mp3=Mp3, Mp4=Mp4, Mp5=Mp5, Mp6=Mp6,
         Gp=Gp, Kp=Kp,
-        Z=jnp.asarray(plant.C), ThetaOut=jnp.zeros((ny, nd), jnp.float32),
+        # Z is file-format parity only (unused by the solve); an LTV
+        # plant has no single output map — record stage 0's.
+        Z=C[0] if C.ndim == 3 else C,
+        ThetaOut=jnp.zeros((ny, nd), jnp.float32),
         x=jnp.zeros(ns, jnp.float32), D=jnp.zeros(H * nd, jnp.float32),
         Kx=Kx, Kd=Kd)
 
@@ -472,7 +528,19 @@ class MPCController:
         return dict(x=np.asarray(xs), u=np.asarray(us),
                     iters=np.asarray(iters), converged=np.asarray(conv))
 
+    def _check_lti_rollout(self):
+        # The closed-loop propagation x+ = A x + B u0 reuses one (A, B);
+        # an LTV prediction model has no single pair, and receding-
+        # horizon use of one means re-linearizing every step anyway
+        # (examples/nonlinear_mpc.py drives step() in that pattern).
+        if np.asarray(self.spec.plant.A).ndim == 3:
+            raise NotImplementedError(
+                "closed-loop rollout needs an LTI plant; for LTV / "
+                "successive-linearization loops call step() per control "
+                "step (see examples/nonlinear_mpc.py)")
+
     def _build_rollout_fn(self, steps: int):
+        self._check_lti_rollout()
         if self.backend == "stagewise":
             return self._build_rollout_fn_stagewise(steps)
         spec, data, cfg = self.spec, self.data, self.cfg
@@ -590,6 +658,7 @@ class MPCController:
 
         Returns dict with state/input/iteration trajectories.
         """
+        self._check_lti_rollout()
         plant = self.spec.plant
         x = jnp.asarray(x0, jnp.float32)
         u_prev = jnp.zeros(plant.n_input, jnp.float32)

@@ -51,6 +51,69 @@ class LinearPlant:
         return xn
 
 
+@dataclasses.dataclass(frozen=True)
+class LTVPlant:
+    """Discrete-time linear TIME-VARYING plant over a fixed horizon:
+
+        x_{k+1} = A[k] x_k + B[k] u_k + E[k] d_k,   k = 0..H-1,
+        y_{k+1} = C[k] x_{k+1}
+
+    (slot convention: stage k's output map ``C[k]`` applies to the state
+    that stage produces, matching the stacked prediction ``X = x_1..x_H``
+    used everywhere else).  Beyond the reference's surface — its plant is
+    one precondensed LTI instance (PQP_CPU.c:757-930) — the LTV form is
+    exactly what successive linearization of a nonlinear plant along a
+    nominal trajectory produces, with the affine remainder
+    ``f(xbar,ubar) - A xbar - B ubar`` riding the disturbance channel
+    (``E = I``, ``dseq`` = remainder); see examples/nonlinear_mpc.py.
+
+    Both backends accept it: :func:`~pqp_for_mpc_tpu.models.mpc.condense`
+    (dense, via time-varying prediction matrices) and
+    :func:`~pqp_for_mpc_tpu.models.stagewise.stagewise_dual` (matrix-free,
+    via the time-varying Riccati factorization).
+    """
+
+    A: np.ndarray  # (H, ns, ns)
+    B: np.ndarray  # (H, ns, nu)
+    E: np.ndarray  # (H, ns, nd)
+    C: np.ndarray  # (H, ny, ns)
+    name: str = "ltv"
+
+    @property
+    def horizon(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def n_state(self) -> int:
+        return self.A.shape[1]
+
+    @property
+    def n_input(self) -> int:
+        return self.B.shape[2]
+
+    @property
+    def n_dist(self) -> int:
+        return self.E.shape[2]
+
+    @property
+    def n_output(self) -> int:
+        return self.C.shape[1]
+
+    def step(self, k: int, x, u, d=None):
+        xn = self.A[k] @ x + self.B[k] @ u
+        if d is not None:
+            xn = xn + self.E[k] @ d
+        return xn
+
+
+def stack_plant(plant: LinearPlant, H: int) -> LTVPlant:
+    """Broadcast an LTI plant to the stacked per-stage LTV form."""
+    rep = lambda m: np.broadcast_to(
+        np.asarray(m, np.float32), (H,) + np.asarray(m).shape).copy()
+    return LTVPlant(A=rep(plant.A), B=rep(plant.B), E=rep(plant.E),
+                    C=rep(plant.C), name=plant.name + "_stacked")
+
+
 def _f32(*arrays):
     return tuple(np.asarray(a, np.float32) for a in arrays)
 

@@ -78,15 +78,24 @@ class StagewiseFactor:
     """Riccati factorization of the stage-wise primal Hessian Qp (the
     implicit analog of the reference's one-time Gauss_Jordan inverse,
     PQP_CPU.c:251-326): time-varying gains such that ``Qp^-1 v`` is one
-    backward + one forward scan."""
+    backward + one forward scan.
 
-    A: jax.Array        # (ns, ns)
-    Bm: jax.Array       # (ns, nu)
-    E: jax.Array        # (ns, nd)
-    C: jax.Array        # (ny, ns)
+    Plant matrices are stored STACKED per stage ``(H, ...)`` — an LTI
+    :class:`~pqp_for_mpc_tpu.models.plants.LinearPlant` is broadcast at
+    build time, an :class:`~pqp_for_mpc_tpu.models.plants.LTVPlant`
+    keeps its per-stage matrices — so there is exactly one code path
+    for both (the pscan forms materialize (H, ...) operands anyway, and
+    the sequential scans just consume them as scan inputs).  The
+    reference is convention ``x_{k+1} = A[k] x_k + B[k] u_k``, output
+    slot k = ``C[k] x_{k+1}``, tracking target ``r[k]``."""
+
+    A: jax.Array        # (H, ns, ns)
+    Bm: jax.Array       # (H, ns, nu)
+    E: jax.Array        # (H, ns, nd)
+    C: jax.Array        # (H, ny, ns)
     Qy: jax.Array       # (ny, ny)
     R: jax.Array        # (nu, nu)
-    r: jax.Array        # (ny,)
+    r: jax.Array        # (H, ny)
     K: jax.Array        # (H, nu, ns)   feedback gains
     Hinv: jax.Array     # (H, nu, nu)   (R + B'P_{k+1}B)^-1
     W: jax.Array        # (H, ns, nu)   P_{k+1} B Hinv_k
@@ -96,47 +105,74 @@ class StagewiseFactor:
     ny: int = 0
 
 
+def _a_shift(f: StagewiseFactor) -> jax.Array:
+    """``Ash[k] = A[k+1]`` (zero at k = H-1): the state-to-costate
+    propagation entering output slot k comes from the NEXT stage's
+    dynamics; the last slot has nothing downstream."""
+    return jnp.concatenate([f.A[1:], jnp.zeros_like(f.A[:1])], axis=0)
+
+
 def riccati_factor(spec: MPCSpec) -> StagewiseFactor:
     """Backward Riccati recursion for the stage costs
-    ``sum_{k=1..H} |C x_k - r|^2_Qy + sum_k |u_k|^2_R`` (the tracking
-    cost of models/mpc.py).  O(H) scan of small dense ops."""
-    plant = spec.plant
-    A = jnp.asarray(plant.A, jnp.float32)
-    B = jnp.asarray(plant.B, jnp.float32)
-    E = jnp.asarray(plant.E, jnp.float32)
-    C = jnp.asarray(plant.C, jnp.float32)
+    ``sum_{k=1..H} |C_k x_k - r_k|^2_Qy + sum_k |u_k|^2_R`` (the
+    tracking cost of models/mpc.py).  O(H) scan of small dense ops.
+    Accepts LTI and LTV plants (2-D matrices broadcast to per-stage
+    stacks) and a constant ``(ny,)`` or per-stage ``(H, ny)`` reference.
+    """
+    plant, H = spec.plant, spec.horizon
+    ltv = np.asarray(plant.A).ndim == 3
+    if ltv and plant.A.shape[0] != H:
+        raise ValueError(
+            f"LTV plant horizon {plant.A.shape[0]} != spec horizon {H}")
+    stk = (lambda m: jnp.asarray(m, jnp.float32)) if ltv else \
+        (lambda m: jnp.broadcast_to(
+            jnp.asarray(m, jnp.float32), (H,) + np.asarray(m).shape))
+    A, B, E, C = stk(plant.A), stk(plant.B), stk(plant.E), stk(plant.C)
     Qy = jnp.asarray(spec.Qy, jnp.float32)
     R = jnp.asarray(spec.R, jnp.float32)
+    ny = C.shape[1]
+    r = jnp.asarray(spec.r, jnp.float32)
+    if r.ndim == 1:
+        r = jnp.broadcast_to(r, (H, ny))
+    elif r.shape != (H, ny):
+        raise ValueError(f"reference shape {r.shape} != ({H}, {ny})")
     # Reference cost convention (models/mpc.py): J = sum (y-r)'Qy(y-r)
     # + u'Ru = 1/2 U'Qp U + Fp'U + 1/2 Mp, i.e. Qp = 2*(Su'Qbar Su +
     # Rbar).  The Riccati recursion therefore runs on the DOUBLED stage
     # weights so kkt_solve applies the reference's Qp^-1 exactly;
     # Qy/R are stored unscaled for cost evaluation.
-    Qt = 2.0 * (C.T @ Qy @ C)                            # (ns, ns)
+    Qt = 2.0 * jnp.einsum("hji,jk,hkl->hil", C, Qy, C)   # (H, ns, ns)
     R2 = 2.0 * R
+    # The carry entering the step that emits stage k's gains is
+    # Pbar_{k+1} = Hessian of [arrival cost at x_{k+1} + cost-to-go];
+    # the NEXT carry adds the arrival cost AT x_k, i.e. Qt[k-1] (in the
+    # LTI special case Qt is constant and this collapses to the
+    # textbook P_new = Qt + A'PA - ...).
+    Qt_prev = jnp.concatenate([jnp.zeros_like(Qt[:1]), Qt[:-1]], axis=0)
 
-    def step(P, _):
-        # P = P_{k+1}; emit gains for stage k
-        BtP = B.T @ P
-        Hk = R2 + BtP @ B
+    def step(P, inp):
+        # P = Pbar_{k+1}; emit gains for stage k
+        Ak, Bk, Qkm1 = inp
+        BtP = Bk.T @ P
+        Hk = R2 + BtP @ Bk
         Hinv = jnp.linalg.inv(Hk)
-        K = Hinv @ BtP @ A
-        W = P @ B @ Hinv
-        P_new = Qt + A.T @ P @ A - A.T @ P @ B @ K
+        K = Hinv @ BtP @ Ak
+        W = P @ Bk @ Hinv
+        P_new = Qkm1 + Ak.T @ P @ Ak - Ak.T @ P @ Bk @ K
         P_new = 0.5 * (P_new + P_new.T)   # keep symmetric
         return P_new, (K, Hinv, W)
 
     with jax.default_matmul_precision("highest"):
-        _, (K, Hinv, W) = lax.scan(step, Qt, None, length=spec.horizon)
+        _, (K, Hinv, W) = lax.scan(
+            step, Qt[-1], (A[::-1], B[::-1], Qt_prev[::-1]))
     # scan emitted k = H-1 .. 0; store in forward order
     K = K[::-1]
     Hinv = Hinv[::-1]
     W = W[::-1]
-    return StagewiseFactor(A=A, Bm=B, E=E, C=C, Qy=Qy, R=R,
-                           r=jnp.asarray(spec.r, jnp.float32),
-                           K=K, Hinv=Hinv, W=W, H=spec.horizon,
+    return StagewiseFactor(A=A, Bm=B, E=E, C=C, Qy=Qy, R=R, r=r,
+                           K=K, Hinv=Hinv, W=W, H=H,
                            ns=plant.n_state, nu=plant.n_input,
-                           ny=C.shape[0])
+                           ny=ny)
 
 
 def _affine_cumulative(Ms: jax.Array, cs: jax.Array, precision=None):
@@ -174,27 +210,27 @@ def kkt_solve(f: StagewiseFactor, v: jax.Array,
 
     ``pscan=True`` replaces the two depth-H sequential scans with
     O(log H)-depth associative scans over the SAME affine recursions
-    (backward: ``p_j = A'(I - W_j B') p_{j+1} + A' W_j v_j``; forward:
-    ``x_{k+1} = (A - B K_k) x_k + B kff_k``) — identical math, float32
-    association order differs.  This is the hot-loop transform for long
-    horizons: one PQP iteration calls this once, and at H = 512 the
-    sequential version is 1024 latency-bound tiny-matmul steps.
+    (backward: ``p_j = A_j'(I - W_j B_j') p_{j+1} + A_j' W_j v_j``;
+    forward: ``x_{k+1} = (A_k - B_k K_k) x_k + B_k kff_k``) — identical
+    math, float32 association order differs.  This is the hot-loop
+    transform for long horizons: one PQP iteration calls this once, and
+    at H = 512 the sequential version is 1024 latency-bound tiny-matmul
+    steps.  Plant matrices are the per-stage stacks of the factor, so
+    LTI and LTV take the same path.
     """
-    A, B = f.A, f.Bm
-
     if pscan:
         prec = precision
         eye = jnp.eye(f.ns, dtype=v.dtype)
-        WBt = jnp.einsum("hij,kj->hik", f.W, B, precision=prec)
-        Mb = jnp.einsum("ij,hjk->hik", A.T, eye - WBt, precision=prec)
+        WBt = jnp.einsum("hij,hkj->hik", f.W, f.Bm, precision=prec)
+        Mb = jnp.einsum("hji,hjk->hik", f.A, eye - WBt, precision=prec)
         Wv = jnp.einsum("hij,hjb->hib", f.W, v, precision=prec)
-        cb = jnp.einsum("ij,hjb->hib", A.T, Wv, precision=prec)
+        cb = jnp.einsum("hji,hjb->hib", f.A, Wv, precision=prec)
         _, crev = _affine_cumulative(Mb[::-1], cb[::-1], prec)
         p_in = _carry_in(crev)[::-1]                 # p_{j+1} at stage j
-        t = jnp.einsum("ji,hjb->hib", B, p_in, precision=prec) - v
+        t = jnp.einsum("hji,hjb->hib", f.Bm, p_in, precision=prec) - v
         kff = -jnp.einsum("hij,hjb->hib", f.Hinv, t, precision=prec)
-        Mf = A[None] - jnp.einsum("ij,hjk->hik", B, f.K, precision=prec)
-        cf = jnp.einsum("ij,hjb->hib", B, kff, precision=prec)
+        Mf = f.A - jnp.einsum("hij,hjk->hik", f.Bm, f.K, precision=prec)
+        cf = jnp.einsum("hij,hjb->hib", f.Bm, kff, precision=prec)
         _, cx = _affine_cumulative(Mf, cf, prec)
         x_in = _carry_in(cx)                         # x_k at stage k
         return -jnp.einsum("hij,hjb->hib", f.K, x_in,
@@ -203,26 +239,26 @@ def kkt_solve(f: StagewiseFactor, v: jax.Array,
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
 
     def back(p, inp):
-        K, Hinv, W, vk = inp
-        t = mm(B.T, p) - vk                      # (nu, B)
+        Ak, Bk, Hinv, W, vk = inp
+        t = mm(Bk.T, p) - vk                     # (nu, B)
         kff = -mm(Hinv, t)
-        p_new = mm(A.T, p - mm(W, t))
+        p_new = mm(Ak.T, p - mm(W, t))
         return p_new, kff
 
     B_ = v.shape[-1]
     p0 = jnp.zeros((f.ns, B_), v.dtype)
-    _, kff = lax.scan(back, p0, (f.K[::-1], f.Hinv[::-1], f.W[::-1],
-                                 v[::-1]))
+    _, kff = lax.scan(back, p0, (f.A[::-1], f.Bm[::-1], f.Hinv[::-1],
+                                 f.W[::-1], v[::-1]))
     kff = kff[::-1]                              # (H, nu, B)
 
     def fwd(x, inp):
-        K, kf = inp
+        Ak, Bk, K, kf = inp
         u = -mm(K, x) + kf
-        x_new = mm(A, x) + mm(B, u)
+        x_new = mm(Ak, x) + mm(Bk, u)
         return x_new, u
 
     x0 = jnp.zeros((f.ns, B_), v.dtype)
-    _, u = lax.scan(fwd, x0, (f.K, kff))
+    _, u = lax.scan(fwd, x0, (f.A, f.Bm, f.K, kff))
     return u
 
 
@@ -234,22 +270,22 @@ def rollout_states(f: StagewiseFactor, x0: jax.Array, u: jax.Array,
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
     B_ = u.shape[-1]
     if dseq is None:
-        dseq = jnp.zeros((f.H, f.E.shape[1], B_), u.dtype)
+        dseq = jnp.zeros((f.H, f.E.shape[-1], B_), u.dtype)
 
     if pscan:
-        cs = (jnp.einsum("ij,hjb->hib", f.Bm, u, precision=precision)
-              + jnp.einsum("ij,hjb->hib", f.E, dseq, precision=precision))
-        Ms = jnp.broadcast_to(f.A, (f.H, f.ns, f.ns))
-        Mcum, ccum = _affine_cumulative(Ms, cs, precision)
+        cs = (jnp.einsum("hij,hjb->hib", f.Bm, u, precision=precision)
+              + jnp.einsum("hij,hjb->hib", f.E, dseq,
+                           precision=precision))
+        Mcum, ccum = _affine_cumulative(f.A, cs, precision)
         return jnp.einsum("hij,jb->hib", Mcum, x0,
                           precision=precision) + ccum
 
     def step(x, inp):
-        uk, dk = inp
-        x_new = mm(f.A, x) + mm(f.Bm, uk) + mm(f.E, dk)
+        Ak, Bk, Ek, uk, dk = inp
+        x_new = mm(Ak, x) + mm(Bk, uk) + mm(Ek, dk)
         return x_new, x_new
 
-    _, xs = lax.scan(step, x0, (u, dseq))
+    _, xs = lax.scan(step, x0, (f.A, f.Bm, f.E, u, dseq))
     return xs
 
 
@@ -369,7 +405,7 @@ def _g_apply_all(dual: StagewiseDual, U: jax.Array,
     f = dual.factor
     xs = rollout_states(f, jnp.zeros((f.ns, U.shape[-1]), U.dtype), U,
                         None, precision, pscan)          # (H, ns, B)
-    yv = jnp.einsum("ij,hjb->hib", f.C, xs, precision=precision)
+    yv = jnp.einsum("hij,hjb->hib", f.C, xs, precision=precision)
     return jnp.concatenate([rows, _flat(jnp.stack([yv, -yv]))], axis=0)
 
 
@@ -459,25 +495,33 @@ def _su_adjoint(f: StagewiseFactor, e: jax.Array,
                 precision=lax.Precision.HIGHEST,
                 pscan: bool = False) -> jax.Array:
     """``Su' C' e`` for per-stage output seeds ``e (H, ny, B)`` — the
-    adjoint of the zero-state rollout (stage k gets
-    ``B' sum_{j>=k+1} A'^{j-k-1} C' e_j``), as one backward scan or its
+    adjoint of the zero-state rollout (slot j gets
+    ``B_j' mu_j`` with ``mu_j = C_j' e_j + A_{j+1}' mu_{j+1}`` — the
+    costate propagation into slot j rides the NEXT stage's dynamics,
+    hence :func:`_a_shift`; for LTI this is the familiar
+    ``B' sum_{k>=j} A'^{k-j} C' e_k``), as one backward scan or its
     associative-scan equivalent.  Shared by the forcing build (where e
     is the weighted tracking error) and the output-constraint rows'
     ``G_y'`` apply."""
+    Ash = _a_shift(f)
     if pscan:
-        cs = jnp.einsum("ji,hjb->hib", f.C, e[::-1], precision=precision)
-        Ms = jnp.broadcast_to(f.A.T, (f.H, f.ns, f.ns))
+        cs = jnp.einsum("hji,hjb->hib", f.C, e,
+                        precision=precision)[::-1]
+        Ms = jnp.transpose(Ash[::-1], (0, 2, 1))
         _, mu = _affine_cumulative(Ms, cs, precision)
-        return jnp.einsum("ji,hjb->hib", f.Bm, mu, precision=precision)[::-1]
+        return jnp.einsum("hji,hjb->hib", f.Bm[::-1], mu,
+                          precision=precision)[::-1]
 
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
 
-    def adj(mu, ek):
-        mu_new = mm(f.C.T, ek) + mm(f.A.T, mu)
-        return mu_new, mm(f.Bm.T, mu_new)
+    def adj(mu, inp):
+        Ashk, Ck, Bk, ek = inp
+        mu_new = mm(Ck.T, ek) + mm(Ashk.T, mu)
+        return mu_new, mm(Bk.T, mu_new)
 
     mu0 = jnp.zeros((f.ns, e.shape[-1]), jnp.float32)
-    _, out_rev = lax.scan(adj, mu0, e[::-1])
+    _, out_rev = lax.scan(adj, mu0,
+                          (Ash[::-1], f.C[::-1], f.Bm[::-1], e[::-1]))
     return out_rev[::-1]                                 # (H, nu, B)
 
 
@@ -607,7 +651,7 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
         # out x out base: Gy Qp^-1 Gy' = C * rollout(0, Zo) per stage
         xs = rollout_states(f, jnp.zeros((f.ns, Hny), jnp.float32), Zo,
                             pscan=pscan)
-        OO = np.asarray(jnp.einsum("ij,hjb->hib", f.C, xs,
+        OO = np.asarray(jnp.einsum("hij,hjb->hib", f.C, xs,
                                    precision=lax.Precision.HIGHEST)
                         .reshape(Hny, Hny), np.float32)
         OO = 0.5 * (OO + OO.T)
@@ -716,8 +760,8 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
     zeros_u = jnp.zeros((f.H, f.nu, B_), jnp.float32)
     xbar = rollout_states(f, x0, zeros_u, dseq, prec, pscan)  # (H, ns, B)
     # outputs per stage: (H, ny, B)
-    ybar = jax.vmap(lambda x: mm(f.C, x))(xbar)
-    e = ybar - f.r[None, :, None]
+    ybar = jnp.einsum("hij,hjb->hib", f.C, xbar, precision=prec)
+    e = ybar - f.r[:, :, None]
     # doubled weights: Fp = 2 Su'Qbar err, Mp = 2 sum |err|^2 (the
     # reference's 1/2 U'QpU + Fp'U + 1/2 Mp convention, see
     # riccati_factor)
@@ -902,7 +946,7 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
                             pscan)
         # 1/2 U'Qp U with Qp = 2*(Su'Qbar Su + Rbar) equals the
         # UNSCALED stage quadratic of the zero-x0 rollout
-        ysU = jax.vmap(lambda x: jnp.matmul(f.C, x, precision=prec))(xs)
+        ysU = jnp.einsum("hij,hjb->hib", f.C, xs, precision=prec)
         quad = jnp.sum(ysU * jax.vmap(
             lambda v: jnp.matmul(f.Qy, v, precision=prec))(ysU),
             axis=(0, 1))

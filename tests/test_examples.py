@@ -68,3 +68,12 @@ def test_constrained_outputs_mpc(capsys):
     out = capsys.readouterr().out
     assert "certified 100%" in out
     assert "bound honored: True" in out
+
+
+def test_nonlinear_mpc(capsys):
+    # 30 steps: asserts the swing-up is under way (|theta| < 0.5 rad
+    # from 2.5); the full 60-step stabilization run is the example's
+    # default and takes ~1 min on CPU
+    _run("nonlinear_mpc.py", ["30"])
+    out = capsys.readouterr().out
+    assert "theta: start +2.500" in out
