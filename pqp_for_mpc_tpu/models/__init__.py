@@ -22,7 +22,9 @@ from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401
     StagewiseDual,
     StagewiseFactor,
     kkt_solve,
+    relinearize,
     riccati_factor,
     solve_stagewise,
     stagewise_dual,
 )
+from pqp_for_mpc_tpu.models.rti import RTIController  # noqa: F401

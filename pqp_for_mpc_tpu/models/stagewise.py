@@ -136,6 +136,15 @@ def riccati_factor(spec: MPCSpec) -> StagewiseFactor:
         r = jnp.broadcast_to(r, (H, ny))
     elif r.shape != (H, ny):
         raise ValueError(f"reference shape {r.shape} != ({H}, {ny})")
+    return _riccati_core(A, B, E, C, Qy, R, r)
+
+
+def _riccati_core(A, B, E, C, Qy, R, r) -> StagewiseFactor:
+    """The recursion on validated stacked ``(H, ...)`` arrays — pure
+    jnp, traceable: the :func:`relinearize` hot path runs this under
+    jit every control step.
+    """
+    H, ny = C.shape[0], C.shape[1]
     # Reference cost convention (models/mpc.py): J = sum (y-r)'Qy(y-r)
     # + u'Ru = 1/2 U'Qp U + Fp'U + 1/2 Mp, i.e. Qp = 2*(Su'Qbar Su +
     # Rbar).  The Riccati recursion therefore runs on the DOUBLED stage
@@ -171,8 +180,7 @@ def riccati_factor(spec: MPCSpec) -> StagewiseFactor:
     W = W[::-1]
     return StagewiseFactor(A=A, Bm=B, E=E, C=C, Qy=Qy, R=R, r=r,
                            K=K, Hinv=Hinv, W=W, H=H,
-                           ns=plant.n_state, nu=plant.n_input,
-                           ny=ny)
+                           ns=A.shape[1], nu=B.shape[2], ny=ny)
 
 
 def _affine_cumulative(Ms: jax.Array, cs: jax.Array, precision=None):
@@ -307,7 +315,8 @@ def _gt_apply(Y):
     return up - lo + Ttd
 
 
-@_pytree_dataclass(meta_fields=("n_con", "band", "soft_rho"))
+@_pytree_dataclass(meta_fields=("n_con", "band", "soft_rho",
+                                "theta_floor"))
 class StagewiseDual:
     """Matrix-free dual-geometry bundle: everything the PQP loop needs
     that depends only on (plant, costs, horizon).
@@ -374,6 +383,7 @@ class StagewiseDual:
     n_con: int = 0
     band: int = 0
     soft_rho: float = 0.0
+    theta_floor: float = 5.0   # kept so relinearize can reuse it
 
     @property
     def has_y(self) -> bool:
@@ -575,37 +585,16 @@ def _absqd_apply(dual: StagewiseDual, m: jax.Array, s: jax.Array,
             bandY[1] + r_slew[..., None] * off, D_y)
 
 
-def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
-                   pscan: Optional[bool] = None,
-                   band: Optional[int] = None) -> StagewiseDual:
-    """Build the matrix-free dual geometry: Riccati factor, the radii
-    ``r_i = sqrt((G Qp^-1 G')_ii)`` (one batched kkt_solve over all
-    distinct constraint vectors), the banded-exact ``|Qd|`` blocks for
-    the hybrid split (see :class:`StagewiseDual`), and theta from the
-    exact rowsum of the split's negative part.
+def _dual_blocks(f: StagewiseFactor, has_y: bool, pscan: bool) -> dict:
+    """Radii and the dense ``|Qd|`` base blocks — pure jnp, traceable.
 
-    ``band`` — stage half-width of the exact band; ``None`` picks the
-    smallest width whose Cauchy-Schwarz tail inflates the split's
-    rowsums by <= 25% (``_auto_band``); ``H - 1`` makes the split exact.
-    Build cost is O(H^2) either way (the radii already need all columns
-    of Qp^-1 G'); solver memory stays O(H * band).
-
-    Output bounds (``spec.y_min``/``y_max``) add two (H, ny) row groups
-    (see the class docstring); hard bounds only — ``soft_penalty``
-    (slack-softened outputs) remains condensed-only."""
-    has_y = spec.y_min is not None or spec.y_max is not None
-    soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
-    f = riccati_factor(spec)
+    One batched kkt_solve over all distinct constraint directions gives
+    ``Z = Qp^-1 G'``; the radii are its diagonal inner products and the
+    base blocks (``S = Qp^-1``, ``S T'``, ``T S T'``, plus the y-row
+    couplings when present) are reshapes/differences of the same Z.
+    """
     H, nu = f.H, f.nu
     M = H * nu
-    if pscan is None:
-        # measured: the SEQUENTIAL scans win at build time (unlike the
-        # solve) — the build batches O(H) columns through each scan, so
-        # the MXU is already fed and the associative form's (H, ns, B)
-        # intermediates only add memory traffic (97 s vs 213 s at H=512
-        # on the CPU backend)
-        pscan = False
-
     # Distinct constraint directions: unit vectors e_{k,j} (box rows) and
     # differences e_{k,j} - e_{k-1,j} (slew rows; k=0 reduces to e_{0,j}).
     # One batched solve computes Qp^-1 g for all of them.
@@ -622,24 +611,22 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     r2 = jnp.sum(flat_g * flat_z, axis=0)            # (2M,)
     r_box = jnp.sqrt(jnp.maximum(r2[:M], 0.0)).reshape(H, nu)
     r_slew = jnp.sqrt(jnp.maximum(r2[M:], 0.0)).reshape(H, nu)
-    r_vec = jnp.stack([r_box, r_box, r_slew, r_slew], axis=0)
 
     # The base blocks of Qd, dense at BUILD time only (they are a
     # reshape of the same Z the radii needed): S = Qp^-1, ST' = Qp^-1 T',
     # TS = (ST')', TST' = T (ST').  Symmetrize S against scan-order
     # float asymmetry so |S| is exactly symmetric.
-    S = np.asarray(flat_z[:, :M], np.float32)
+    S = flat_z[:, :M]
     S = 0.5 * (S + S.T)
-    ST = np.asarray(flat_z[:, M:], np.float32)
+    ST = flat_z[:, M:]
     STr = ST.reshape(H, nu, M)
-    TST = (STr - np.concatenate([np.zeros_like(STr[:1]), STr[:-1]],
-                                axis=0)).reshape(M, M)
+    TST = (STr - jnp.concatenate([jnp.zeros_like(STr[:1]), STr[:-1]],
+                                 axis=0)).reshape(M, M)
     TST = 0.5 * (TST + TST.T)
+    blk = dict(r_box=r_box, r_slew=r_slew, S=S, ST=ST, TST=TST)
 
-    r_out = theta_out = band_io = band_oi = band_oo = None
-    y_max = y_min = None
-    ny = f.ny
     if has_y:
+        ny = f.ny
         # y-row directions g_{k,i} = Su'C'e_{k,i}: batched adjoint of
         # unit output seeds, then one batched kkt_solve — the same
         # O(H^2) pattern as the input radii.
@@ -647,61 +634,73 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
         Eo = jnp.eye(Hny, dtype=jnp.float32).reshape(H, ny, Hny)
         Go = _su_adjoint(f, Eo, pscan=pscan)         # (H, nu, Hny)
         Zo = kkt_solve(f, Go, pscan=pscan)           # (H, nu, Hny)
-        Zo_flat = np.asarray(Zo.reshape(M, Hny), np.float32)  # Qp^-1 Gy'
+        Zo_flat = Zo.reshape(M, Hny)                 # Qp^-1 Gy'
         # out x out base: Gy Qp^-1 Gy' = C * rollout(0, Zo) per stage
         xs = rollout_states(f, jnp.zeros((f.ns, Hny), jnp.float32), Zo,
                             pscan=pscan)
-        OO = np.asarray(jnp.einsum("hij,hjb->hib", f.C, xs,
-                                   precision=lax.Precision.HIGHEST)
-                        .reshape(Hny, Hny), np.float32)
+        OO = jnp.einsum("hij,hjb->hib", f.C, xs,
+                        precision=lax.Precision.HIGHEST).reshape(Hny, Hny)
         OO = 0.5 * (OO + OO.T)
-        r_out = jnp.sqrt(jnp.maximum(jnp.asarray(np.diag(OO)), 0.0)) \
-            .reshape(H, ny)
+        r_out = jnp.sqrt(jnp.maximum(jnp.diag(OO), 0.0)).reshape(H, ny)
         Zr = Zo_flat.reshape(H, nu, Hny)
-        TZo = (Zr - np.concatenate([np.zeros_like(Zr[:1]), Zr[:-1]],
-                                   axis=0)).reshape(M, Hny)
+        TZo = (Zr - jnp.concatenate([jnp.zeros_like(Zr[:1]), Zr[:-1]],
+                                    axis=0)).reshape(M, Hny)
+        blk.update(Zo_flat=Zo_flat, TZo=TZo, OO=OO, r_out=r_out)
+    return blk
+
+
+def _extract_band_j(K: jax.Array, H: int, ru: int, b: int,
+                    rv: int | None = None) -> jax.Array:
+    """jnp twin of :func:`_extract_band` (``b`` static → traceable)."""
+    rv = ru if rv is None else rv
+    Kb = K.reshape(H, ru, H, rv).transpose(0, 2, 1, 3)   # (H, H, ru, rv)
+    Kp_ = jnp.pad(Kb, ((0, 0), (b, b), (0, 0), (0, 0)))  # (H, H+2b, ..)
+    idx = jnp.arange(H)[:, None] + jnp.arange(2 * b + 1)[None, :]
+    return Kp_[jnp.arange(H)[:, None], idx]              # (H, 2b+1, ..)
+
+
+def _dual_assemble(f: StagewiseFactor, blk: dict, band: int, has_y: bool,
+                   soft_rho: float, y_min, y_max, umax, umin, dmax,
+                   uprev, theta_floor: float, pscan: bool) -> StagewiseDual:
+    """Band extraction + bounds + theta from the blocks — pure jnp with
+    ``band``/``has_y``/``soft_rho`` static, so :func:`relinearize` can
+    run the whole assembly under jit."""
+    H, nu, ny = f.H, f.nu, f.ny
+    M = H * nu
+    r_box, r_slew = blk["r_box"], blk["r_slew"]
+    r_vec = jnp.stack([r_box, r_box, r_slew, r_slew], axis=0)
+    S, ST, TST = blk["S"], blk["ST"], blk["TST"]
+    band_abs = jnp.stack([
+        jnp.stack([_extract_band_j(jnp.abs(S), H, nu, band),
+                   _extract_band_j(jnp.abs(ST), H, nu, band)]),
+        jnp.stack([_extract_band_j(jnp.abs(ST.T), H, nu, band),
+                   _extract_band_j(jnp.abs(TST), H, nu, band)])])
+    # ^ (2, 2, H, 2b+1, nu, nu)
+
+    r_out = theta_out = band_io = band_oi = band_oo = None
+    if has_y:
+        r_out = blk["r_out"]
+        Zo_flat, TZo, OO = blk["Zo_flat"], blk["TZo"], blk["OO"]
+        band_io = jnp.stack(
+            [_extract_band_j(jnp.abs(Zo_flat), H, nu, band, ny),
+             _extract_band_j(jnp.abs(TZo), H, nu, band, ny)])
+        band_oi = jnp.stack(
+            [_extract_band_j(jnp.abs(Zo_flat.T), H, ny, band, nu),
+             _extract_band_j(jnp.abs(TZo.T), H, ny, band, nu)])
+        band_oo = _extract_band_j(jnp.abs(OO), H, ny, band, ny)
         big = np.float32(1e6)   # one-sided bounds stay inert
-        y_max = jnp.asarray(np.full(ny, big, np.float32)
-                            if spec.y_max is None
-                            else np.asarray(spec.y_max, np.float32))
-        y_min = jnp.asarray(np.full(ny, -big, np.float32)
-                            if spec.y_min is None
-                            else np.asarray(spec.y_min, np.float32))
-
-    rvec2 = np.concatenate(
-        [np.asarray(r_box).reshape(-1), np.asarray(r_slew).reshape(-1)]
-        + ([np.asarray(r_out).reshape(-1)] if has_y else []))
-    if has_y:
-        absK = np.abs(np.block([[S, ST, Zo_flat],
-                                [ST.T, TST, TZo],
-                                [Zo_flat.T, TZo.T, OO]]))
-        widths = [nu, nu, ny]
+        y_max = (jnp.full((ny,), big, jnp.float32) if y_max is None
+                 else jnp.asarray(y_max, jnp.float32))
+        y_min = (jnp.full((ny,), -big, jnp.float32) if y_min is None
+                 else jnp.asarray(y_min, jnp.float32))
     else:
-        absK = np.abs(np.block([[S, ST], [ST.T, TST]]))  # (2M, 2M)
-        widths = [nu, nu]
-    if band is None:
-        band = _auto_band(absK, rvec2, H, widths)
-    band = int(min(max(band, 0), H - 1))
-    band_abs = np.stack([
-        np.stack([_extract_band(np.abs(S), H, nu, band),
-                  _extract_band(np.abs(ST), H, nu, band)]),
-        np.stack([_extract_band(np.abs(ST.T), H, nu, band),
-                  _extract_band(np.abs(TST), H, nu, band)])])
-    band_abs = jnp.asarray(band_abs)        # (2, 2, H, 2b+1, nu, nu)
-    if has_y:
-        band_io = jnp.asarray(np.stack(
-            [_extract_band(np.abs(Zo_flat), H, nu, band, ny),
-             _extract_band(np.abs(TZo), H, nu, band, ny)]))
-        band_oi = jnp.asarray(np.stack(
-            [_extract_band(np.abs(Zo_flat.T), H, ny, band, nu),
-             _extract_band(np.abs(TZo.T), H, ny, band, nu)]))
-        band_oo = jnp.asarray(_extract_band(np.abs(OO), H, ny, band, ny))
+        y_max = y_min = None
 
-    umax = jnp.broadcast_to(jnp.asarray(spec.u_max, jnp.float32), (H, nu))
-    umin = jnp.broadcast_to(jnp.asarray(spec.u_min, jnp.float32), (H, nu))
-    dmax = jnp.broadcast_to(jnp.asarray(spec.du_max, jnp.float32), (H, nu))
-    uprev = jnp.zeros(nu, jnp.float32) if spec.u_prev is None else \
-        jnp.asarray(spec.u_prev, jnp.float32)
+    umax = jnp.broadcast_to(jnp.asarray(umax, jnp.float32), (H, nu))
+    umin = jnp.broadcast_to(jnp.asarray(umin, jnp.float32), (H, nu))
+    dmax = jnp.broadcast_to(jnp.asarray(dmax, jnp.float32), (H, nu))
+    uprev = jnp.zeros(nu, jnp.float32) if uprev is None else \
+        jnp.asarray(uprev, jnp.float32)
     e1u = jnp.zeros((H, nu), jnp.float32).at[0].set(uprev)
     Kp = jnp.stack([umax, -umin, dmax + e1u, dmax - e1u], axis=0)
 
@@ -713,7 +712,8 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
                        theta_out=theta_out, band_io=band_io,
                        band_oi=band_oi, band_oo=band_oo,
                        y_max=y_max, y_min=y_min,
-                       n_con=n_con, band=band, soft_rho=soft_rho)
+                       n_con=n_con, band=band, soft_rho=soft_rho,
+                       theta_floor=theta_floor)
 
     # theta_i = max(rowsum(N)_i, floor) with N = (D - Qd)/2 the hybrid
     # split's negative part (D >= |Qd| >= Qd^- elementwise, so this
@@ -741,6 +741,115 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
         theta_soft = th_all[4 * M + 2 * H * ny:].reshape(2, H, ny)
     return dataclasses.replace(sd, theta=theta, theta_out=theta_out,
                                theta_soft=theta_soft)
+
+
+def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
+                   pscan: Optional[bool] = None,
+                   band: Optional[int] = None) -> StagewiseDual:
+    """Build the matrix-free dual geometry: Riccati factor, the radii
+    ``r_i = sqrt((G Qp^-1 G')_ii)`` (one batched kkt_solve over all
+    distinct constraint vectors), the banded-exact ``|Qd|`` blocks for
+    the hybrid split (see :class:`StagewiseDual`), and theta from the
+    exact rowsum of the split's negative part.
+
+    ``band`` — stage half-width of the exact band; ``None`` picks the
+    smallest width whose Cauchy-Schwarz tail inflates the split's
+    rowsums by <= 25% (``_auto_band``); ``H - 1`` makes the split exact.
+    Build cost is O(H^2) either way (the radii already need all columns
+    of Qp^-1 G'); solver memory stays O(H * band).
+
+    Output bounds (``spec.y_min``/``y_max``) add two (H, ny) row groups
+    (see the class docstring); hard bounds only — ``soft_penalty``
+    (slack-softened outputs) remains condensed-only.
+
+    For receding-horizon loops that RELINEARIZE the plant every step
+    (successive linearization / real-time iteration), build once here
+    (auto band) and refresh with :func:`relinearize` — the refresh is
+    pure jnp and runs under jit."""
+    has_y = spec.y_min is not None or spec.y_max is not None
+    soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
+    f = riccati_factor(spec)
+    H, nu, ny = f.H, f.nu, f.ny
+    if pscan is None:
+        # measured: the SEQUENTIAL scans win at build time (unlike the
+        # solve) — the build batches O(H) columns through each scan, so
+        # the MXU is already fed and the associative form's (H, ns, B)
+        # intermediates only add memory traffic (97 s vs 213 s at H=512
+        # on the CPU backend)
+        pscan = False
+
+    blk = _dual_blocks(f, has_y, pscan)
+    if band is None:
+        # band auto-selection inspects the dense blocks on the host —
+        # the one build stage that cannot run under jit (the width is
+        # structural); relinearize reuses the width chosen here
+        S, ST, TST = (np.asarray(blk[k], np.float32)
+                      for k in ("S", "ST", "TST"))
+        rvec2 = np.concatenate(
+            [np.asarray(blk["r_box"]).reshape(-1),
+             np.asarray(blk["r_slew"]).reshape(-1)]
+            + ([np.asarray(blk["r_out"]).reshape(-1)] if has_y else []))
+        if has_y:
+            Zo_flat, TZo, OO = (np.asarray(blk[k], np.float32)
+                                for k in ("Zo_flat", "TZo", "OO"))
+            absK = np.abs(np.block([[S, ST, Zo_flat],
+                                    [ST.T, TST, TZo],
+                                    [Zo_flat.T, TZo.T, OO]]))
+            widths = [nu, nu, ny]
+        else:
+            absK = np.abs(np.block([[S, ST], [ST.T, TST]]))  # (2M, 2M)
+            widths = [nu, nu]
+        band = _auto_band(absK, rvec2, H, widths)
+    band = int(min(max(band, 0), H - 1))
+    return _dual_assemble(f, blk, band, has_y, soft_rho,
+                          spec.y_min, spec.y_max, spec.u_max, spec.u_min,
+                          spec.du_max, spec.u_prev, theta_floor, pscan)
+
+
+def relinearize(sd: StagewiseDual, A: jax.Array, B: jax.Array,
+                E: Optional[jax.Array] = None,
+                C: Optional[jax.Array] = None,
+                r: Optional[jax.Array] = None,
+                u_prev: Optional[jax.Array] = None,
+                pscan: bool = False) -> StagewiseDual:
+    """Rebuild the dual geometry for NEW per-stage dynamics under the
+    SAME static structure (horizon, band width, constraint groups) —
+    pure jnp end to end, so it runs UNDER JIT.
+
+    This is the hot path of nonlinear MPC by successive linearization
+    (real-time iteration, examples/nonlinear_mpc.py): every control
+    step produces fresh Jacobian stacks ``A, B (H, ns, ·)`` along the
+    shifted nominal trajectory, and the Riccati factorization, split
+    radii, banded ``|Qd|`` blocks and theta must follow.  An eager
+    ``stagewise_dual`` build pays ~0.5 s of Python dispatch per step;
+    ``relinearize`` inside a jitted step is part of one compiled graph
+    (see :class:`~pqp_for_mpc_tpu.models.rti.RTIController`).
+
+    ``E``/``C``/``r`` default to the previous factor's; ``u_prev``
+    moves the stage-0 slew bounds.  Cost weights, input bounds, output
+    bounds, theta floor and the band width are inherited from ``sd``
+    (the auto-selected band stays valid while the linearization
+    geometry drifts slowly — the receding-horizon regime; rebuild with
+    :func:`stagewise_dual` on a regime change)."""
+    f0 = sd.factor
+    A = jnp.asarray(A, jnp.float32)
+    B = jnp.asarray(B, jnp.float32)
+    E = f0.E if E is None else jnp.asarray(E, jnp.float32)
+    C = f0.C if C is None else jnp.asarray(C, jnp.float32)
+    r = f0.r if r is None else jnp.asarray(r, jnp.float32)
+    if r.ndim == 1:
+        r = jnp.broadcast_to(r, (f0.H, f0.ny))
+    f = _riccati_core(A, B, E, C, f0.Qy, f0.R, r)
+    blk = _dual_blocks(f, sd.has_y, pscan)
+    # recover the bound vectors from the stacked Kp rows:
+    # Kp = [umax, -umin, dmax + e1 uprev, dmax - e1 uprev]
+    umax, umin = sd.Kp[0], -sd.Kp[1]
+    dmax = 0.5 * (sd.Kp[2] + sd.Kp[3])
+    uprev = (0.5 * (sd.Kp[2, 0] - sd.Kp[3, 0]) if u_prev is None
+             else jnp.asarray(u_prev, jnp.float32))
+    return _dual_assemble(f, blk, sd.band, sd.has_y, sd.soft_rho,
+                          sd.y_min, sd.y_max, umax, umin, dmax, uprev,
+                          sd.theta_floor, pscan)
 
 
 def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
