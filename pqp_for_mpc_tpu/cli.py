@@ -71,7 +71,7 @@ def cmd_solve(args) -> int:
     data = load_example_dir(args.dir)
     cfg = _build_solver_cfg(args)
     t0 = time.perf_counter()
-    primal = data.assemble(Qp=jnp.linalg.inv(data.Qp_inv))
+    primal = data.assemble(Qp=data.qp())
     dual = dualize(primal, theta_floor=cfg.theta_floor)
     res = solve(primal, dual, cfg=cfg)
     dt = time.perf_counter() - t0
@@ -297,7 +297,7 @@ def cmd_serve(args) -> int:
         entry = cache.get(path)
         if entry is None:
             data = load_example_dir(path)
-            Qp = jnp.linalg.inv(data.Qp_inv)
+            Qp = data.qp()
             geom = dual_geometry(data.Gp, data.Qp_inv,
                                  theta_floor=cfg.theta_floor,
                                  precision=cfg.precision)

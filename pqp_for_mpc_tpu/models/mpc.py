@@ -19,8 +19,10 @@ with box input bounds and slew-rate bounds contributing the reference's
 characteristic ``N = 4 * horizon * n_input`` constraint rows
 (PQP_CPU.c:941: N = 4*pHorizon*nInput).
 
-All matrix building is plain jnp — a few einsums and block stacks that XLA
-folds at trace time; horizon is static.
+Problem build runs on the HOST in float64 (NumPy; TPUs have no f64 —
+see :func:`condense`), then casts the finished blocks to float32 for the
+device.  The traceable jnp build (:func:`prediction_matrices`) remains
+for in-graph uses; horizon is static either way.
 """
 
 from __future__ import annotations
@@ -84,62 +86,55 @@ def prediction_matrices(plant: LinearPlant, H: int):
     or an :class:`~pqp_for_mpc_tpu.models.plants.LTVPlant` (stacked
     3-D), the latter produced e.g. by successive linearization of a
     nonlinear plant (examples/nonlinear_mpc.py).
+
+    Both forms build through ONE ``lax.scan`` over stages (O(H) traced
+    ops, O(H^2) FLOPs — the latter is inherent: Su has H^2/2 nonzero
+    blocks).  Row i carries the previous row's blocks forward through
+    one batched ``A_i @ .`` and inserts ``B_i``/``E_i`` on the
+    diagonal, so tracing stays flat in H (a Python-level block loop
+    emitted ~130k ops at H=512 and made condensed LTV builds
+    impractical at long horizons; the scan compiles in seconds there).
+    The stage-wise backend (models/stagewise.py) remains the
+    production path at flagship horizons — it never materializes Su
+    at all — and is the only path that relinearizes under jit
+    (models/rti.py).
     """
     ltv = np.asarray(plant.A).ndim == 3
     ns, nu = plant.n_state, plant.n_input
     nd = plant.n_dist
 
-    if ltv:
-        if np.asarray(plant.A).shape[0] != H:
-            raise ValueError(
-                f"LTV plant horizon {np.asarray(plant.A).shape[0]} != {H}")
-        A = jnp.asarray(plant.A)
-        B = jnp.asarray(plant.B)
-        E = jnp.asarray(plant.E)
-        dt = A.dtype
-        zb = jnp.zeros((ns, nu), dt)
-        ze = jnp.zeros((ns, nd), dt)
-        Sx_rows, Su_rows, Sd_rows = [], [], []
-        sx = jnp.eye(ns, dtype=dt)
-        su = [zb] * H    # current row's blocks: Phi(i+1, j+1) B_j
-        sd = [ze] * H
-        for i in range(H):
-            sx = A[i] @ sx
-            su = [A[i] @ b for b in su[:i]] + su[i:]
-            sd = [A[i] @ b for b in sd[:i]] + sd[i:]
-            su[i] = B[i]
-            sd[i] = E[i]
-            Sx_rows.append(sx)
-            Su_rows.append(jnp.concatenate(su, axis=1))
-            Sd_rows.append(jnp.concatenate(sd, axis=1))
-        Sx = jnp.concatenate(Sx_rows, axis=0)                   # (H*ns, ns)
-        Su = jnp.concatenate(Su_rows, axis=0)                   # (H*ns, H*nu)
-        Sd = jnp.concatenate(Sd_rows, axis=0)                   # (H*ns, H*nd)
-        return Sx, Su, Sd
-
     A = jnp.asarray(plant.A)
     B = jnp.asarray(plant.B)
     E = jnp.asarray(plant.E)
+    if ltv and A.shape[0] != H:
+        raise ValueError(f"LTV plant horizon {A.shape[0]} != {H}")
+    dt = A.dtype
+    if not ltv:     # LTI = constant stacks through the same scan
+        A = jnp.broadcast_to(A, (H, ns, ns))
+        B = jnp.broadcast_to(B, (H, ns, nu))
+        E = jnp.broadcast_to(E, (H, ns, nd))
 
-    # powers[i] = A^i, i = 0..H — O(H) distinct products for LTI
-    powers = [jnp.eye(ns, dtype=A.dtype)]
-    for _ in range(H):
-        powers.append(A @ powers[-1])
+    def step(carry, inp):
+        # carry holds row i-1's blocks: sx = Phi(i, 0),
+        # su[j] = Phi(i, j+1) B_j (zero for j >= i), sd likewise
+        sx, su, sd = carry
+        Ai, Bi, Ei, i = inp
+        sx = Ai @ sx
+        su = jnp.einsum("pk,jkq->jpq", Ai, su)
+        sd = jnp.einsum("pk,jkq->jpq", Ai, sd)
+        su = lax.dynamic_update_index_in_dim(su, Bi, i, 0)
+        sd = lax.dynamic_update_index_in_dim(sd, Ei, i, 0)
+        return (sx, su, sd), (sx, su, sd)
 
-    Sx = jnp.concatenate(powers[1:], axis=0)                     # (H*ns, ns)
-    AB = [p @ B for p in powers[:H]]   # A^i B
-    AE = [p @ E for p in powers[:H]]
-    zb = jnp.zeros((ns, nu), A.dtype)
-    ze = jnp.zeros((ns, nd), A.dtype)
-    Su_rows = []
-    Sd_rows = []
-    for i in range(1, H + 1):
-        Su_rows.append(jnp.concatenate(
-            [AB[i - 1 - j] if j < i else zb for j in range(H)], axis=1))
-        Sd_rows.append(jnp.concatenate(
-            [AE[i - 1 - j] if j < i else ze for j in range(H)], axis=1))
-    Su = jnp.concatenate(Su_rows, axis=0)                        # (H*ns, H*nu)
-    Sd = jnp.concatenate(Sd_rows, axis=0)                        # (H*ns, H*nd)
+    init = (jnp.eye(ns, dtype=dt),
+            jnp.zeros((H, ns, nu), dt),
+            jnp.zeros((H, ns, nd), dt))
+    _, (Sx_s, Su_s, Sd_s) = lax.scan(step, init,
+                                     (A, B, E, jnp.arange(H)))
+    Sx = Sx_s.reshape(H * ns, ns)
+    # stacked (i, j, ns, *) -> block matrix (i, ns, j, *)
+    Su = Su_s.transpose(0, 2, 1, 3).reshape(H * ns, H * nu)
+    Sd = Sd_s.transpose(0, 2, 1, 3).reshape(H * ns, H * nd)
     return Sx, Su, Sd
 
 
@@ -167,16 +162,77 @@ def input_constraints(spec: MPCSpec):
     return Gp, Kp
 
 
+def _prediction_matrices_f64(plant: LinearPlant, H: int):
+    """Host-side float64 prediction build for :func:`_condense` — same
+    recurrence as :func:`prediction_matrices` but in NumPy: the build
+    runs once per (plant, horizon) and its accuracy bounds everything
+    downstream (kappa(Qp) grows ~H^4; an f32 build alone injects noise
+    above the solver's certification tolerances at long horizons), and
+    TPUs have no f64, so the right split is f64 on the host, f32 blocks
+    on the device."""
+    ltv = np.asarray(plant.A).ndim == 3
+    ns, nu, nd = plant.n_state, plant.n_input, plant.n_dist
+    A = np.asarray(plant.A, np.float64)
+    B = np.asarray(plant.B, np.float64)
+    E = np.asarray(plant.E, np.float64)
+    if ltv:
+        if A.shape[0] != H:
+            raise ValueError(f"LTV plant horizon {A.shape[0]} != {H}")
+    else:
+        A = np.broadcast_to(A, (H, ns, ns))
+        B = np.broadcast_to(B, (H, ns, nu))
+        E = np.broadcast_to(E, (H, ns, nd))
+    Sx = np.zeros((H * ns, ns))
+    Su = np.zeros((H * ns, H * nu))
+    Sd = np.zeros((H * ns, H * nd))
+    sx = np.eye(ns)
+    su = np.zeros((H, ns, nu))
+    sd = np.zeros((H, ns, nd))
+    for i in range(H):
+        sx = A[i] @ sx
+        su = np.einsum("pk,jkq->jpq", A[i], su)
+        sd = np.einsum("pk,jkq->jpq", A[i], sd)
+        su[i] = B[i]
+        sd[i] = E[i]
+        Sx[i * ns:(i + 1) * ns] = sx
+        Su[i * ns:(i + 1) * ns] = su.transpose(1, 0, 2).reshape(ns, H * nu)
+        Sd[i * ns:(i + 1) * ns] = sd.transpose(1, 0, 2).reshape(ns, H * nd)
+    return Sx, Su, Sd
+
+
+def _input_constraints_f64(spec: MPCSpec):
+    """Float64 twin of :func:`input_constraints` for the host build."""
+    H, nu = spec.horizon, spec.plant.n_input
+    M = H * nu
+    I = np.eye(M)
+    T = np.eye(M) - np.eye(M, k=-nu)
+    Gp = np.concatenate([I, -I, T, -T], axis=0)                  # (4M, M)
+    umax = np.tile(np.asarray(spec.u_max, np.float64), H)
+    umin = np.tile(np.asarray(spec.u_min, np.float64), H)
+    dmax = np.tile(np.asarray(spec.du_max, np.float64), H)
+    uprev = np.zeros(nu) if spec.u_prev is None else \
+        np.asarray(spec.u_prev, np.float64)
+    e1u = np.concatenate([uprev, np.zeros(M - nu)])
+    Kp = np.concatenate([umax, -umin, dmax + e1u, dmax - e1u])   # (4M,)
+    return Gp, Kp
+
+
 def condense(spec: MPCSpec) -> CondensedMPCData:
     """Derive the condensed blocks in the reference's exact block
     conventions (so :meth:`CondensedMPCData.assemble` reproduces the
     tracking cost; see module docstring for the algebra).
 
-    Problem build runs once per (plant, horizon); full float32 matmul
-    precision (no bf16 passes) — build accuracy bounds solver accuracy.
+    Problem build runs ONCE per (plant, horizon) on the HOST in
+    float64, and the finished blocks are cast to float32 for the
+    device solve.  Build accuracy bounds solver accuracy: kappa(Qp)
+    reaches ~1e11 for stiff plants at modest horizons, where an f32
+    build's noise (ordering-dependent, ~kappa*eps_f32) already exceeds
+    the certification tolerances — while the f64 build leaves the f32
+    CAST as the only error, which is the floor anything f32-on-device
+    can achieve.  TPUs have no f64 datapath, so host NumPy is the
+    TPU-native home for this step (it is O(H^2 ns^2) once, never hot).
     """
-    with jax.default_matmul_precision("highest"):
-        return _condense(spec)
+    return _condense(spec)
 
 
 def _condense(spec: MPCSpec) -> CondensedMPCData:
@@ -185,23 +241,23 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
                       plant.n_output)
     M = H * nu
 
-    Sx, Su, Sd = prediction_matrices(plant, H)
-    C = jnp.asarray(plant.C, jnp.float32)
+    Sx, Su, Sd = _prediction_matrices_f64(plant, H)
+    C = np.asarray(plant.C, np.float64)
     if C.ndim == 3:      # LTV: per-stage output maps, block-diagonal
-        Cs = jax.scipy.linalg.block_diag(*C)
+        Cs = np.zeros((H * ny, H * ns))
+        for k in range(H):
+            Cs[k * ny:(k + 1) * ny, k * ns:(k + 1) * ns] = C[k]
     else:
-        Cs = jnp.kron(jnp.eye(H, dtype=jnp.float32), C)
-    Qbar = jnp.kron(jnp.eye(H, dtype=jnp.float32),
-                    jnp.asarray(spec.Qy, jnp.float32))
-    Rbar = jnp.kron(jnp.eye(H, dtype=jnp.float32),
-                    jnp.asarray(spec.R, jnp.float32))
-    r = jnp.asarray(spec.r, jnp.float32)
+        Cs = np.kron(np.eye(H), C)
+    Qbar = np.kron(np.eye(H), np.asarray(spec.Qy, np.float64))
+    Rbar = np.kron(np.eye(H), np.asarray(spec.R, np.float64))
+    r = np.asarray(spec.r, np.float64)
     if r.ndim == 2:      # per-stage reference (H, ny)
         if r.shape != (H, ny):
             raise ValueError(f"reference shape {r.shape} != ({H}, {ny})")
         rbar = r.reshape(-1)
     else:
-        rbar = jnp.tile(r, H)                                    # (H*ny,)
+        rbar = np.tile(r, H)                                     # (H*ny,)
 
     CSu = Cs @ Su        # (Hny, M)
     CSx = Cs @ Sx        # (Hny, ns)
@@ -223,7 +279,7 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     Mp5 = -8.0 * CSd.T @ (Qbar @ rbar)                           # (Hnd,)
     Mp6 = 4.0 * rbar @ (Qbar @ rbar)                             # ()
 
-    Gp, Kp = input_constraints(spec)
+    Gp, Kp = _input_constraints_f64(spec)
     Kx = Kd = None
     if spec.y_min is not None or spec.y_max is not None:
         # Output constraints: y = CSu U + CSx x + CSd D, so
@@ -231,61 +287,58 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         #  -CSu U <= -ymin + CSx x + CSd D    (rows with Kx = +CSx)
         # Constraint bounds become state-dependent: Kp(x, D) =
         # Kp0 + Kx x + Kd D, handled by CondensedMPCData.assemble.
-        big = np.float32(1e6)  # one-sided bounds stay inert
-        ymax = (np.full(ny, big, np.float32) if spec.y_max is None
-                else np.asarray(spec.y_max, np.float32))
-        ymin = (np.full(ny, -big, np.float32) if spec.y_min is None
-                else np.asarray(spec.y_min, np.float32))
+        big = 1e6  # one-sided bounds stay inert
+        ymax = (np.full(ny, big) if spec.y_max is None
+                else np.asarray(spec.y_max, np.float64))
+        ymin = (np.full(ny, -big) if spec.y_min is None
+                else np.asarray(spec.y_min, np.float64))
         rows_u = CSu
         n_out = 2 * H * ny
-        Gp = jnp.concatenate([Gp, rows_u, -rows_u], axis=0)
-        Kp = jnp.concatenate([
-            Kp, jnp.tile(jnp.asarray(ymax), H),
-            -jnp.tile(jnp.asarray(ymin), H)])
-        Zx = jnp.zeros((4 * M, ns), jnp.float32)
-        Zd = jnp.zeros((4 * M, H * nd), jnp.float32)
-        Kx = jnp.concatenate([Zx, -CSx, CSx], axis=0)
-        Kd = jnp.concatenate([Zd, -CSd, CSd], axis=0)
+        Gp = np.concatenate([Gp, rows_u, -rows_u], axis=0)
+        Kp = np.concatenate([Kp, np.tile(ymax, H), -np.tile(ymin, H)])
+        Zx = np.zeros((4 * M, ns))
+        Zd = np.zeros((4 * M, H * nd))
+        Kx = np.concatenate([Zx, -CSx, CSx], axis=0)
+        Kd = np.concatenate([Zd, -CSd, CSd], axis=0)
 
         if spec.soft_penalty is not None:
             # Slack softening: V = [U; s], s >= 0 penalized rho|s|^2.
             # Output rows become  +/-CSu U - s <= bound  and n_out extra
             # rows enforce s >= 0 (with zero state dependence).
             rho = float(spec.soft_penalty)
-            Qp = jnp.block([
-                [Qp, jnp.zeros((M, n_out), jnp.float32)],
-                [jnp.zeros((n_out, M), jnp.float32),
-                 2.0 * rho * jnp.eye(n_out, dtype=jnp.float32)]])
-            zrow = lambda A: jnp.concatenate(
-                [A, jnp.zeros((n_out, A.shape[1]), jnp.float32)], axis=0)
+            Qp = np.block([
+                [Qp, np.zeros((M, n_out))],
+                [np.zeros((n_out, M)), 2.0 * rho * np.eye(n_out)]])
+            zrow = lambda A: np.concatenate(
+                [A, np.zeros((n_out, A.shape[1]))], axis=0)
             Fp1, Fp2 = zrow(Fp1), zrow(Fp2)
-            Fp3 = jnp.concatenate([Fp3, jnp.zeros(n_out, jnp.float32)])
-            slack_cols = jnp.concatenate([
-                jnp.zeros((4 * M, n_out), jnp.float32),
-                -jnp.eye(n_out, dtype=jnp.float32)], axis=0)
-            Gp = jnp.concatenate([
-                jnp.concatenate([Gp, slack_cols], axis=1),
-                jnp.concatenate([jnp.zeros((n_out, M), jnp.float32),
-                                 -jnp.eye(n_out, dtype=jnp.float32)],
-                                axis=1)], axis=0)
-            Kp = jnp.concatenate([Kp, jnp.zeros(n_out, jnp.float32)])
-            Kx = jnp.concatenate(
-                [Kx, jnp.zeros((n_out, ns), jnp.float32)], axis=0)
-            Kd = jnp.concatenate(
-                [Kd, jnp.zeros((n_out, H * nd), jnp.float32)], axis=0)
+            Fp3 = np.concatenate([Fp3, np.zeros(n_out)])
+            slack_cols = np.concatenate([
+                np.zeros((4 * M, n_out)), -np.eye(n_out)], axis=0)
+            Gp = np.concatenate([
+                np.concatenate([Gp, slack_cols], axis=1),
+                np.concatenate([np.zeros((n_out, M)), -np.eye(n_out)],
+                               axis=1)], axis=0)
+            Kp = np.concatenate([Kp, np.zeros(n_out)])
+            Kx = np.concatenate([Kx, np.zeros((n_out, ns))], axis=0)
+            Kd = np.concatenate([Kd, np.zeros((n_out, H * nd))], axis=0)
 
-    Qp_inv = jnp.linalg.inv(Qp)
+    Qp_inv = np.linalg.inv(Qp)
 
+    f32 = lambda a: (None if a is None
+                     else jnp.asarray(np.asarray(a), jnp.float32))
     return CondensedMPCData(
-        Qp_inv=Qp_inv, Fp1=Fp1, Fp2=Fp2, Fp3=Fp3,
-        Mp1=Mp1, Mp2=Mp2, Mp3=Mp3, Mp4=Mp4, Mp5=Mp5, Mp6=Mp6,
-        Gp=Gp, Kp=Kp,
+        Qp_inv=f32(Qp_inv), Qp=f32(Qp),
+        Fp1=f32(Fp1), Fp2=f32(Fp2), Fp3=f32(Fp3),
+        Mp1=f32(Mp1), Mp2=f32(Mp2), Mp3=f32(Mp3), Mp4=f32(Mp4),
+        Mp5=f32(Mp5), Mp6=f32(Mp6),
+        Gp=f32(Gp), Kp=f32(Kp),
         # Z is file-format parity only (unused by the solve); an LTV
-        # plant has no single output map — record stage 0's.
-        Z=C[0] if C.ndim == 3 else C,
+        # plant has no single output map - record stage 0's.
+        Z=f32(C[0] if C.ndim == 3 else C),
         ThetaOut=jnp.zeros((ny, nd), jnp.float32),
         x=jnp.zeros(ns, jnp.float32), D=jnp.zeros(H * nd, jnp.float32),
-        Kx=Kx, Kd=Kd)
+        Kx=f32(Kx), Kd=f32(Kd))
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +428,7 @@ class MPCController:
             self._geom = None
         else:
             self.data = condense(spec)
-            self.Qp = jnp.linalg.inv(self.data.Qp_inv)
+            self.Qp = self.data.qp()    # exactly-built, never re-inverted
             # instance-invariant dual geometry (GQi, Qd, theta, splits)
             # is computed once; per-step solves only rebuild the forcing
             self._geom = dual_geometry(self.data.Gp, self.data.Qp_inv,

@@ -380,6 +380,7 @@ class StagewiseDual:
     band_oo: Optional[jax.Array] = None   # (H, 2b+1, ny, ny)
     y_max: Optional[jax.Array] = None     # (ny,) +big where unbounded
     y_min: Optional[jax.Array] = None     # (ny,)
+    u_prev: Optional[jax.Array] = None    # (nu,) stage-0 slew anchor
     n_con: int = 0
     band: int = 0
     soft_rho: float = 0.0
@@ -711,7 +712,7 @@ def _dual_assemble(f: StagewiseFactor, blk: dict, band: int, has_y: bool,
                        band_abs=band_abs, r_out=r_out,
                        theta_out=theta_out, band_io=band_io,
                        band_oi=band_oi, band_oo=band_oo,
-                       y_max=y_max, y_min=y_min,
+                       y_max=y_max, y_min=y_min, u_prev=uprev,
                        n_con=n_con, band=band, soft_rho=soft_rho,
                        theta_floor=theta_floor)
 
@@ -842,11 +843,14 @@ def relinearize(sd: StagewiseDual, A: jax.Array, B: jax.Array,
     f = _riccati_core(A, B, E, C, f0.Qy, f0.R, r)
     blk = _dual_blocks(f, sd.has_y, pscan)
     # recover the bound vectors from the stacked Kp rows:
-    # Kp = [umax, -umin, dmax + e1 uprev, dmax - e1 uprev]
+    # Kp = [umax, -umin, dmax + e1 uprev, dmax - e1 uprev].  umax/umin
+    # survive +-inf entries (disabled bounds); dmax does too (inf+inf).
+    # u_prev comes from the stored field, NOT from 0.5*(Kp[2,0]-Kp[3,0])
+    # — that difference is inf - inf = NaN when du_max is +inf.
     umax, umin = sd.Kp[0], -sd.Kp[1]
     dmax = 0.5 * (sd.Kp[2] + sd.Kp[3])
-    uprev = (0.5 * (sd.Kp[2, 0] - sd.Kp[3, 0]) if u_prev is None
-             else jnp.asarray(u_prev, jnp.float32))
+    uprev = sd.u_prev if u_prev is None else jnp.asarray(u_prev,
+                                                         jnp.float32)
     return _dual_assemble(f, blk, sd.band, sd.has_y, sd.soft_rho,
                           sd.y_min, sd.y_max, umax, umin, dmax, uprev,
                           sd.theta_floor, pscan)

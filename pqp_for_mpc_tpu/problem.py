@@ -64,6 +64,14 @@ class PrimalQP:
                         # depend on the instance (e.g. output constraints
                         # whose slack depends on x)
 
+    def qp(self) -> jax.Array:
+        """The primal Hessian: the stored exactly-built ``Qp`` when
+        present, else the inverse of ``Qp_inv`` (the reference's
+        Gauss_Jordan step, PQP_CPU.c:989 — the only option for
+        file-loaded instances)."""
+        return (jnp.linalg.inv(self.Qp_inv) if self.Qp is None
+                else self.Qp)
+
     @property
     def n_var(self) -> int:
         return self.Gp.shape[-1]
@@ -139,6 +147,22 @@ class CondensedMPCData:
     #   Kp(x, D) = Kp + Kx x + Kd D
     Kx: Optional[jax.Array] = None   # (N, nState)
     Kd: Optional[jax.Array] = None   # (N, H*nDis)
+    # Optional exactly-built Qp.  File-loaded instances carry only
+    # Qp_inv (the reference's input; Gauss_Jordan recovers Qp,
+    # PQP_CPU.c:989) and leave this None; framework-condensed instances
+    # store the float64-built Qp (models/mpc.py condense) because at
+    # kappa(Qp) beyond 1/eps_f32 the inverse of an f32 Qp_inv no longer
+    # determines Qp — re-inverting there is both slower (O(M^3)) and
+    # catastrophically less accurate than remembering the matrix.
+    Qp: Optional[jax.Array] = None   # (M, M)
+
+    def qp(self) -> jax.Array:
+        """The primal Hessian: the stored exactly-built ``Qp`` when
+        present, else the inverse of ``Qp_inv`` (the reference's
+        Gauss_Jordan step, PQP_CPU.c:989 — the only option for
+        file-loaded instances)."""
+        return (jnp.linalg.inv(self.Qp_inv) if self.Qp is None
+                else self.Qp)
 
     @property
     def n_var(self) -> int:
@@ -190,7 +214,7 @@ class CondensedMPCData:
         Mp = 0.5 * (xMp1x + DMp2x + Mp4x + DMp3D + Mp5D + self.Mp6)
 
         if Qp is None:
-            Qp = jnp.linalg.inv(self.Qp_inv)
+            Qp = self.qp()
         Kp = self.Kp
         if self.Kx is not None:
             Kp = (Kp[:, None] + dot(self.Kx, xc)

@@ -58,10 +58,13 @@ def test_condensed_cost_matches_rollout(plant_name):
     D = rng.uniform(-1, 1, spec.horizon * plant.n_dist).astype(np.float32)
     U = rng.uniform(-1, 1, spec.horizon * plant.n_input).astype(np.float32)
 
-    primal = data.assemble(x=jnp.asarray(x0), D=jnp.asarray(D),
-                           Qp=jnp.linalg.inv(data.Qp_inv))
-    # QP cost 1/2 U'QpU + Fp'U + 1/2 Mp == rolled-out tracking cost
-    Qp = np.linalg.inv(np.asarray(data.Qp_inv))
+    primal = data.assemble(x=jnp.asarray(x0), D=jnp.asarray(D))
+    # QP cost 1/2 U'QpU + Fp'U + 1/2 Mp == rolled-out tracking cost.
+    # data.qp() is the exactly-built Hessian: kappa(Qp) reaches ~2e11
+    # for thermal_rc, where inverting the f32 Qp_inv cannot recover Qp
+    # (the information is gone below eps_f32) — the stored-Qp path is
+    # what the framework itself uses (MPCController, problem.assemble).
+    Qp = np.asarray(data.qp())
     J_qp = (0.5 * U @ Qp @ U + np.asarray(primal.Fp) @ U
             + 0.5 * float(primal.Mp))
     J_sim = _rollout_cost(spec, x0, D, U)
