@@ -15,6 +15,7 @@ from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401
     MPCController,
     MPCSpec,
     condense,
+    dare_terminal_weight,
     input_constraints,
     prediction_matrices,
 )

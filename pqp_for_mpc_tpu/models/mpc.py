@@ -50,14 +50,20 @@ class MPCSpec:
     :class:`~pqp_for_mpc_tpu.models.plants.LTVPlant` (stacked per-stage
     matrices, e.g. from successive linearization of a nonlinear plant —
     examples/nonlinear_mpc.py); ``r`` may be a constant ``(ny,)``
-    reference or a per-stage ``(H, ny)`` trajectory.  Both backends
-    (condensed and stage-wise) accept either form.
+    reference or a per-stage ``(H, ny)`` trajectory.  ``Qy``/``R`` may
+    likewise be constant or per-stage stacks ``(H, ny, ny)``/``(H, nu,
+    nu)`` (time-varying weights: ramp-up schedules, terminal output
+    emphasis, trust-region R in SQP loops).  ``P`` adds the textbook
+    terminal state cost ``x_H' P x_H`` (e.g. the DARE solution, the
+    standard closed-loop stability certificate for finite-horizon MPC
+    — a surface the reference's fixed-file pipeline cannot express).
+    Both backends (condensed and stage-wise) accept every form.
     """
 
     plant: LinearPlant
     horizon: int
-    Qy: np.ndarray            # (ny, ny) output-tracking weight
-    R: np.ndarray             # (nu, nu) input weight
+    Qy: np.ndarray            # (ny, ny) or (H, ny, ny) tracking weight
+    R: np.ndarray             # (nu, nu) or (H, nu, nu) input weight
     r: np.ndarray             # (ny,) or (H, ny) output reference
     u_min: np.ndarray         # (nu,)
     u_max: np.ndarray         # (nu,)
@@ -73,6 +79,10 @@ class MPCSpec:
     # QP infeasible for reachable states; softened ones always admit a
     # solution.  None = hard constraints.
     soft_penalty: Optional[float] = None
+    # Terminal state cost x_H' P x_H (P PSD, (ns, ns)); None = no
+    # terminal term.  Enters Qp/Fp/Mp on the condensed path and the
+    # Riccati init on the stage-wise path.
+    P: Optional[np.ndarray] = None
 
 
 def prediction_matrices(plant: LinearPlant, H: int):
@@ -200,6 +210,56 @@ def _prediction_matrices_f64(plant: LinearPlant, H: int):
     return Sx, Su, Sd
 
 
+def dare_terminal_weight(plant: LinearPlant, Qy, R,
+                         max_iters: int = 10_000,
+                         tol: float = 1e-12) -> np.ndarray:
+    """Infinite-horizon cost-to-go ``P`` for the UNSCALED tracking cost
+    ``sum |C x|^2_Qy + |u|^2_R`` — the textbook ``MPCSpec.P`` choice
+    (terminal cost = what an infinite horizon would charge, turning a
+    short-horizon MPC into the constrained LQR near the origin).
+
+    Solved by value iteration on the discrete algebraic Riccati
+    equation in float64 on the host (build-time, never hot).  LTI
+    plants only — an LTV/linearization user should evaluate at the
+    operating point.
+    """
+    A = np.asarray(plant.A, np.float64)
+    B = np.asarray(plant.B, np.float64)
+    C = np.asarray(plant.C, np.float64)
+    if A.ndim != 2:
+        raise ValueError("dare_terminal_weight needs an LTI plant")
+    Q = C.T @ np.asarray(Qy, np.float64) @ C
+    R = np.asarray(R, np.float64)
+    P = Q.copy()
+    for _ in range(max_iters):
+        BtP = B.T @ P
+        P_next = Q + A.T @ P @ A - A.T @ P @ B @ np.linalg.solve(
+            R + BtP @ B, BtP @ A)
+        P_next = 0.5 * (P_next + P_next.T)
+        if np.abs(P_next - P).max() <= tol * max(1.0, np.abs(P).max()):
+            return P_next.astype(np.float32)
+        P = P_next
+    raise ValueError("DARE value iteration did not converge "
+                     "(unstabilizable plant or undetectable cost?)")
+
+
+def _stage_weight_diag(W, H: int, n: int, name: str) -> np.ndarray:
+    """Block-diagonal stacked weight: a constant ``(n, n)`` weight
+    krons across stages; a per-stage ``(H, n, n)`` stack fills the
+    blocks individually (time-varying weights)."""
+    W = np.asarray(W, np.float64)
+    if W.ndim == 2:
+        if W.shape != (n, n):
+            raise ValueError(f"{name} shape {W.shape} != ({n}, {n})")
+        return np.kron(np.eye(H), W)
+    if W.shape != (H, n, n):
+        raise ValueError(f"{name} shape {W.shape} != ({H}, {n}, {n})")
+    out = np.zeros((H * n, H * n))
+    for k in range(H):
+        out[k * n:(k + 1) * n, k * n:(k + 1) * n] = W[k]
+    return out
+
+
 def _input_constraints_f64(spec: MPCSpec):
     """Float64 twin of :func:`input_constraints` for the host build."""
     H, nu = spec.horizon, spec.plant.n_input
@@ -249,8 +309,8 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
             Cs[k * ny:(k + 1) * ny, k * ns:(k + 1) * ns] = C[k]
     else:
         Cs = np.kron(np.eye(H), C)
-    Qbar = np.kron(np.eye(H), np.asarray(spec.Qy, np.float64))
-    Rbar = np.kron(np.eye(H), np.asarray(spec.R, np.float64))
+    Qbar = _stage_weight_diag(spec.Qy, H, ny, "Qy")
+    Rbar = _stage_weight_diag(spec.R, H, nu, "R")
     r = np.asarray(spec.r, np.float64)
     if r.ndim == 2:      # per-stage reference (H, ny)
         if r.shape != (H, ny):
@@ -259,9 +319,27 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     else:
         rbar = np.tile(r, H)                                     # (H*ny,)
 
-    CSu = Cs @ Su        # (Hny, M)
-    CSx = Cs @ Sx        # (Hny, ns)
-    CSd = Cs @ Sd        # (Hny, Hnd)
+    if spec.P is not None:
+        # Terminal cost x_H' P x_H as ns extra zero-reference "outputs"
+        # selecting the last state block: append Sel_H = [0 .. 0 I] to
+        # Cs and blkdiag P into Qbar — every cost block below then
+        # carries the terminal term through unchanged algebra.  The
+        # OUTPUT-CONSTRAINT geometry must not see these rows; it slices
+        # the leading H*ny rows back out (``rows_u`` below).
+        P = np.asarray(spec.P, np.float64)
+        if P.shape != (ns, ns):
+            raise ValueError(f"terminal P shape {P.shape} != ({ns},{ns})")
+        sel = np.zeros((ns, H * ns))
+        sel[:, (H - 1) * ns:] = np.eye(ns)
+        Cs = np.concatenate([Cs, sel], axis=0)
+        Qbar = np.block([
+            [Qbar, np.zeros((H * ny, ns))],
+            [np.zeros((ns, H * ny)), P]])
+        rbar = np.concatenate([rbar, np.zeros(ns)])
+
+    CSu = Cs @ Su        # (Hny[+ns], M)
+    CSx = Cs @ Sx        # (Hny[+ns], ns)
+    CSd = Cs @ Sd        # (Hny[+ns], Hnd)
     QCSu = Qbar @ CSu
 
     # J = (CSu U + c)'Qbar(CSu U + c) + U'Rbar U,
@@ -292,14 +370,14 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
                 else np.asarray(spec.y_max, np.float64))
         ymin = (np.full(ny, -big) if spec.y_min is None
                 else np.asarray(spec.y_min, np.float64))
-        rows_u = CSu
+        rows_u = CSu[:H * ny]      # output rows only (skip terminal-P)
         n_out = 2 * H * ny
         Gp = np.concatenate([Gp, rows_u, -rows_u], axis=0)
         Kp = np.concatenate([Kp, np.tile(ymax, H), -np.tile(ymin, H)])
         Zx = np.zeros((4 * M, ns))
         Zd = np.zeros((4 * M, H * nd))
-        Kx = np.concatenate([Zx, -CSx, CSx], axis=0)
-        Kd = np.concatenate([Zd, -CSd, CSd], axis=0)
+        Kx = np.concatenate([Zx, -CSx[:H * ny], CSx[:H * ny]], axis=0)
+        Kd = np.concatenate([Zd, -CSd[:H * ny], CSd[:H * ny]], axis=0)
 
         if spec.soft_penalty is not None:
             # Slack softening: V = [U; s], s >= 0 penalized rho|s|^2.

@@ -93,8 +93,9 @@ class StagewiseFactor:
     Bm: jax.Array       # (H, ns, nu)
     E: jax.Array        # (H, ns, nd)
     C: jax.Array        # (H, ny, ns)
-    Qy: jax.Array       # (ny, ny)
-    R: jax.Array        # (nu, nu)
+    Qy: jax.Array       # (H, ny, ny) per-stage tracking weights
+    R: jax.Array        # (H, nu, nu) per-stage input weights
+    P: jax.Array        # (ns, ns) terminal state weight (zeros = none)
     r: jax.Array        # (H, ny)
     K: jax.Array        # (H, nu, ns)   feedback gains
     Hinv: jax.Array     # (H, nu, nu)   (R + B'P_{k+1}B)^-1
@@ -128,57 +129,71 @@ def riccati_factor(spec: MPCSpec) -> StagewiseFactor:
         (lambda m: jnp.broadcast_to(
             jnp.asarray(m, jnp.float32), (H,) + np.asarray(m).shape))
     A, B, E, C = stk(plant.A), stk(plant.B), stk(plant.E), stk(plant.C)
+    ny, ns, nu = C.shape[1], A.shape[1], B.shape[2]
     Qy = jnp.asarray(spec.Qy, jnp.float32)
+    Qy = jnp.broadcast_to(Qy, (H, ny, ny)) if Qy.ndim == 2 else Qy
+    if Qy.shape != (H, ny, ny):
+        raise ValueError(f"Qy shape {Qy.shape} != ({H}, {ny}, {ny})")
     R = jnp.asarray(spec.R, jnp.float32)
-    ny = C.shape[1]
+    R = jnp.broadcast_to(R, (H, nu, nu)) if R.ndim == 2 else R
+    if R.shape != (H, nu, nu):
+        raise ValueError(f"R shape {R.shape} != ({H}, {nu}, {nu})")
+    P = (jnp.zeros((ns, ns), jnp.float32) if spec.P is None
+         else jnp.asarray(spec.P, jnp.float32))
     r = jnp.asarray(spec.r, jnp.float32)
     if r.ndim == 1:
         r = jnp.broadcast_to(r, (H, ny))
     elif r.shape != (H, ny):
         raise ValueError(f"reference shape {r.shape} != ({H}, {ny})")
-    return _riccati_core(A, B, E, C, Qy, R, r)
+    return _riccati_core(A, B, E, C, Qy, R, r, P)
 
 
-def _riccati_core(A, B, E, C, Qy, R, r) -> StagewiseFactor:
+def _riccati_core(A, B, E, C, Qy, R, r, P=None) -> StagewiseFactor:
     """The recursion on validated stacked ``(H, ...)`` arrays — pure
     jnp, traceable: the :func:`relinearize` hot path runs this under
-    jit every control step.
+    jit every control step.  ``Qy (H, ny, ny)``/``R (H, nu, nu)`` are
+    per-stage weight stacks; ``P (ns, ns)`` the terminal state weight
+    (None/zeros = no terminal term).
     """
     H, ny = C.shape[0], C.shape[1]
+    if P is None:
+        P = jnp.zeros((A.shape[1], A.shape[1]), jnp.float32)
     # Reference cost convention (models/mpc.py): J = sum (y-r)'Qy(y-r)
-    # + u'Ru = 1/2 U'Qp U + Fp'U + 1/2 Mp, i.e. Qp = 2*(Su'Qbar Su +
-    # Rbar).  The Riccati recursion therefore runs on the DOUBLED stage
-    # weights so kkt_solve applies the reference's Qp^-1 exactly;
-    # Qy/R are stored unscaled for cost evaluation.
-    Qt = 2.0 * jnp.einsum("hji,jk,hkl->hil", C, Qy, C)   # (H, ns, ns)
+    # + u'Ru + x_H'P x_H = 1/2 U'Qp U + Fp'U + 1/2 Mp, i.e. Qp =
+    # 2*(Su'Qbar Su + Rbar).  The Riccati recursion therefore runs on
+    # the DOUBLED stage weights so kkt_solve applies the reference's
+    # Qp^-1 exactly; Qy/R/P are stored unscaled for cost evaluation.
+    Qt = 2.0 * jnp.einsum("hji,hjk,hkl->hil", C, Qy, C)  # (H, ns, ns)
     R2 = 2.0 * R
     # The carry entering the step that emits stage k's gains is
     # Pbar_{k+1} = Hessian of [arrival cost at x_{k+1} + cost-to-go];
     # the NEXT carry adds the arrival cost AT x_k, i.e. Qt[k-1] (in the
     # LTI special case Qt is constant and this collapses to the
-    # textbook P_new = Qt + A'PA - ...).
+    # textbook P_new = Qt + A'PA - ...).  The terminal weight rides the
+    # scan init: the cost-to-go entering stage H-1 is Qt[-1] + 2P.
     Qt_prev = jnp.concatenate([jnp.zeros_like(Qt[:1]), Qt[:-1]], axis=0)
 
-    def step(P, inp):
-        # P = Pbar_{k+1}; emit gains for stage k
-        Ak, Bk, Qkm1 = inp
-        BtP = Bk.T @ P
-        Hk = R2 + BtP @ Bk
+    def step(Pc, inp):
+        # Pc = Pbar_{k+1}; emit gains for stage k
+        Ak, Bk, R2k, Qkm1 = inp
+        BtP = Bk.T @ Pc
+        Hk = R2k + BtP @ Bk
         Hinv = jnp.linalg.inv(Hk)
         K = Hinv @ BtP @ Ak
-        W = P @ Bk @ Hinv
-        P_new = Qkm1 + Ak.T @ P @ Ak - Ak.T @ P @ Bk @ K
+        W = Pc @ Bk @ Hinv
+        P_new = Qkm1 + Ak.T @ Pc @ Ak - Ak.T @ Pc @ Bk @ K
         P_new = 0.5 * (P_new + P_new.T)   # keep symmetric
         return P_new, (K, Hinv, W)
 
     with jax.default_matmul_precision("highest"):
         _, (K, Hinv, W) = lax.scan(
-            step, Qt[-1], (A[::-1], B[::-1], Qt_prev[::-1]))
+            step, Qt[-1] + 2.0 * P,
+            (A[::-1], B[::-1], R2[::-1], Qt_prev[::-1]))
     # scan emitted k = H-1 .. 0; store in forward order
     K = K[::-1]
     Hinv = Hinv[::-1]
     W = W[::-1]
-    return StagewiseFactor(A=A, Bm=B, E=E, C=C, Qy=Qy, R=R, r=r,
+    return StagewiseFactor(A=A, Bm=B, E=E, C=C, Qy=Qy, R=R, P=P, r=r,
                            K=K, Hinv=Hinv, W=W, H=H,
                            ns=A.shape[1], nu=B.shape[2], ny=ny)
 
@@ -504,7 +519,8 @@ def _extract_band(K: np.ndarray, H: int, ru: int, b: int,
 
 def _su_adjoint(f: StagewiseFactor, e: jax.Array,
                 precision=lax.Precision.HIGHEST,
-                pscan: bool = False) -> jax.Array:
+                pscan: bool = False,
+                g_last: Optional[jax.Array] = None) -> jax.Array:
     """``Su' C' e`` for per-stage output seeds ``e (H, ny, B)`` — the
     adjoint of the zero-state rollout (slot j gets
     ``B_j' mu_j`` with ``mu_j = C_j' e_j + A_{j+1}' mu_{j+1}`` — the
@@ -513,11 +529,18 @@ def _su_adjoint(f: StagewiseFactor, e: jax.Array,
     ``B' sum_{k>=j} A'^{k-j} C' e_k``), as one backward scan or its
     associative-scan equivalent.  Shared by the forcing build (where e
     is the weighted tracking error) and the output-constraint rows'
-    ``G_y'`` apply."""
+    ``G_y'`` apply.
+
+    ``g_last (ns, B)`` adds a STATE-space costate seed at the last
+    stage (``mu_{H-1} += g_last``) — the terminal cost's gradient
+    ``2 P x_H`` enters the adjoint there, alongside (not through) the
+    output map."""
     Ash = _a_shift(f)
     if pscan:
         cs = jnp.einsum("hji,hjb->hib", f.C, e,
                         precision=precision)[::-1]
+        if g_last is not None:
+            cs = cs.at[0].add(g_last)      # reversed: slot 0 = stage H-1
         Ms = jnp.transpose(Ash[::-1], (0, 2, 1))
         _, mu = _affine_cumulative(Ms, cs, precision)
         return jnp.einsum("hji,hjb->hib", f.Bm[::-1], mu,
@@ -531,6 +554,20 @@ def _su_adjoint(f: StagewiseFactor, e: jax.Array,
         return mu_new, mm(Bk.T, mu_new)
 
     mu0 = jnp.zeros((f.ns, e.shape[-1]), jnp.float32)
+    out_last = None
+    if g_last is not None:
+        # Ash[H-1] = 0 annihilates mu0, so the seed cannot ride the
+        # carry; peel the last stage instead (one step, then the
+        # un-seeded scan over the remaining H-1 stages).
+        mu0 = mm(f.C[-1].T, e[-1]) + g_last
+        out_last = mm(f.Bm[-1].T, mu0)
+        if f.H == 1:
+            return out_last[None]
+        Ash, e = Ash[:-1], e[:-1]
+        _, out_rev = lax.scan(adj, mu0,
+                              (f.A[1:][::-1], f.C[:-1][::-1],
+                               f.Bm[:-1][::-1], e[::-1]))
+        return jnp.concatenate([out_rev[::-1], out_last[None]], axis=0)
     _, out_rev = lax.scan(adj, mu0,
                           (Ash[::-1], f.C[::-1], f.Bm[::-1], e[::-1]))
     return out_rev[::-1]                                 # (H, nu, B)
@@ -840,7 +877,7 @@ def relinearize(sd: StagewiseDual, A: jax.Array, B: jax.Array,
     r = f0.r if r is None else jnp.asarray(r, jnp.float32)
     if r.ndim == 1:
         r = jnp.broadcast_to(r, (f0.H, f0.ny))
-    f = _riccati_core(A, B, E, C, f0.Qy, f0.R, r)
+    f = _riccati_core(A, B, E, C, f0.Qy, f0.R, r, f0.P)
     blk = _dual_blocks(f, sd.has_y, pscan)
     # recover the bound vectors from the stacked Kp rows:
     # Kp = [umax, -umin, dmax + e1 uprev, dmax - e1 uprev].  umax/umin
@@ -877,11 +914,14 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
     e = ybar - f.r[:, :, None]
     # doubled weights: Fp = 2 Su'Qbar err, Mp = 2 sum |err|^2 (the
     # reference's 1/2 U'QpU + Fp'U + 1/2 Mp convention, see
-    # riccati_factor)
-    Qe = 2.0 * jax.vmap(lambda v: mm(f.Qy, v))(e)          # (H, ny, B)
+    # riccati_factor); the terminal cost adds 2 xbar_H'P xbar_H to Mp
+    # and seeds the adjoint with its state-space gradient 2 P xbar_H
+    Qe = 2.0 * jnp.einsum("hij,hjb->hib", f.Qy, e, precision=prec)
     Mp = jnp.sum(e * Qe, axis=(0, 1))                      # (B,)
+    Pxh = 2.0 * mm(f.P, xbar[-1])                          # (ns, B)
+    Mp = Mp + jnp.sum(xbar[-1] * Pxh, axis=0)
 
-    Fp = _su_adjoint(f, Qe, prec, pscan)                   # (H, nu, B)
+    Fp = _su_adjoint(f, Qe, prec, pscan, g_last=Pxh)       # (H, nu, B)
 
     QiF = kkt_solve(f, Fp, prec, pscan)
     Md = jnp.sum(Fp * QiF, axis=(0, 1)) - Mp               # (B,)
@@ -1060,11 +1100,14 @@ def solve_stagewise(dual: StagewiseDual, x0: jax.Array,
         # 1/2 U'Qp U with Qp = 2*(Su'Qbar Su + Rbar) equals the
         # UNSCALED stage quadratic of the zero-x0 rollout
         ysU = jnp.einsum("hij,hjb->hib", f.C, xs, precision=prec)
-        quad = jnp.sum(ysU * jax.vmap(
-            lambda v: jnp.matmul(f.Qy, v, precision=prec))(ysU),
+        quad = jnp.sum(
+            ysU * jnp.einsum("hij,hjb->hib", f.Qy, ysU, precision=prec),
             axis=(0, 1))
-        Ru = jax.vmap(lambda v: jnp.matmul(f.R, v, precision=prec))(U)
+        Ru = jnp.einsum("hij,hjb->hib", f.R, U, precision=prec)
         quad = quad + jnp.sum(U * Ru, axis=(0, 1))
+        # terminal state weight: 1/2 U'QpU carries x_H(U)'P x_H(U)
+        quad = quad + jnp.sum(
+            xs[-1] * jnp.matmul(f.P, xs[-1], precision=prec), axis=0)
         Jp = quad + s_pen + jnp.sum(Fp * U, axis=(0, 1)) + 0.5 * Mp
         if cfg.gap_from_complementarity:
             # Jp(U(Y)) + Jd(Y) = Y'(Qd Y + Fd) exactly (the Mp/Md
