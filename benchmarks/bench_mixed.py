@@ -1,0 +1,95 @@
+"""Hardware bench: mixed-precision solve (bf16 bulk + f32 refine) vs
+the f32 XLA path and the streamed whole-solve kernel at N=4096.
+
+The large-N solve is HBM-bandwidth-bound; ``solver.solve_mixed`` runs
+the bulk of the iterations against a CONSISTENTLY-rounded bfloat16 copy
+of Qd (half the bytes per sweep, and the bf16 MXU path besides), hands
+off to the f32 solver at the bf16 floor, and certifies everything on
+the true float32 problem — same four-part test, same tolerances.
+
+Both paths are timed under jit with a device-side scalar fence
+(over the tunneled chip ``block_until_ready`` returns early); the
+mixed path MUST be jitted — called eagerly it re-materializes the
+three bf16 matrices every call.
+
+Run: ``python benchmarks/bench_mixed.py [--n 4096] [--accel]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=128)
+    ap.add_argument("--max-iters", type=int, default=30000)
+    ap.add_argument("--check-every", type=int, default=16)
+    ap.add_argument("--accel", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench_tiled_solve import build
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
+    from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
+
+    fence = jax.jit(lambda u: jnp.sum(u))
+    N, M, B = args.n, args.m, args.b
+    primal, dual = build(N, M, B)
+    k = args.check_every
+    cfg = SolverConfig(max_iters=args.max_iters, check_every=k,
+                       accel_every=k if args.accel else 0,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+
+    paths = {
+        "f32_xla": jax.jit(lambda: solve_batched(primal, dual, cfg=cfg)),
+        "tiled_kernel": lambda: solve_fused_tiled(primal, dual, cfg=cfg),
+        "mixed": jax.jit(lambda: solve_mixed(primal, dual, cfg=cfg)),
+    }
+    results, times = {}, {}
+    for name, fn in paths.items():
+        r = fn()
+        float(fence(r.U))                    # compile + first run
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            r = fn()
+            float(fence(r.U))                # scalar fence
+            best = min(best, time.perf_counter() - t0)
+        results[name], times[name] = r, best
+
+    rx, rm = results["f32_xla"], results["mixed"]
+    both = np.asarray(rx.converged) & np.asarray(rm.converged)
+    row = {"bench": "mixed_precision_solve", "device": str(jax.devices()[0]),
+           "N": N, "M": M, "B": B, "max_iters": args.max_iters,
+           "check_every": k, "accel": args.accel,
+           "mode": "complementarity"}
+    for name in paths:
+        r = results[name]
+        row[f"{name}_s"] = round(times[name], 4)
+        row[f"{name}_converged"] = int(np.asarray(r.converged).sum())
+        row[f"{name}_iters_mean"] = round(float(np.asarray(r.iters).mean()), 1)
+    row["max_dU_mixed_vs_f32"] = float(np.max(
+        np.abs(np.asarray(rm.U) - np.asarray(rx.U))[:, both], initial=0.0))
+    row["speedup_vs_f32"] = round(times["f32_xla"] / times["mixed"], 2)
+    row["speedup_vs_tiled_kernel"] = round(
+        times["tiled_kernel"] / times["mixed"], 2)
+    print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

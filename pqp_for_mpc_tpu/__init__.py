@@ -29,5 +29,6 @@ __version__ = "0.1.0"
 from pqp_for_mpc_tpu.problem import PrimalQP, DualQP, CondensedMPCData  # noqa: F401
 from pqp_for_mpc_tpu.config import SolverConfig  # noqa: F401
 from pqp_for_mpc_tpu.dual import dualize  # noqa: F401
-from pqp_for_mpc_tpu.solver import solve, solve_batched, SolveResult  # noqa: F401
+from pqp_for_mpc_tpu.solver import (solve, solve_batched,  # noqa: F401
+                                    solve_mixed, SolveResult)
 from pqp_for_mpc_tpu.diff import solve_qp_implicit  # noqa: F401

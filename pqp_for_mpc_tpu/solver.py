@@ -35,6 +35,7 @@ PQP_CPU.c:338; costs in float32):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -427,6 +428,152 @@ def _solve_core(primal: PrimalQP, dual: DualQP, Y0: jax.Array,
     iters = jnp.where(done, iters, h)
     return SolveResult(U=U, Y=Y, iters=iters, converged=done & ~div,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
+
+
+def solve_mixed(primal: PrimalQP, dual: DualQP,
+                Y0: Optional[jax.Array] = None,
+                cfg: SolverConfig = SolverConfig(),
+                floor_frac: float = 0.25,
+                floor_checks: int = 2) -> SolveResult:
+    """Mixed-precision solve for large N: a bfloat16 bulk phase streams
+    HALF the HBM bytes per iteration (the large-N solve is
+    bandwidth-bound), then :func:`solve_batched` refines in float32
+    from the bf16 iterate to the full certification tolerances.  The
+    result is certified on the TRUE float32 problem — bf16 only
+    accelerates the journey, never the verdict.
+
+    Correctness requires a CONSISTENT bf16 problem.  Rounding the two
+    precomputed splits ``Qd^{+/-} + theta`` independently breaks the
+    identity ``Qd = (Qd^+ + th) - (Qd^- + th)`` and the multiplicative
+    update DIVERGES (measured on v5e at N=4096: Y grows to 3e9 and no
+    f32 refine recovers — the iterate lands on the wrong active face
+    and 0 is absorbing).  Instead ``Qd`` is rounded ONCE to bfloat16,
+    split elementwise (exact: the split just masks signs), theta is
+    recomputed in f32 from the ROUNDED negative part's rowsums (the
+    reference rule, PQP_CPU.c:503-519, so dominance still holds for the
+    rounded matrix) and applied as a separate f32 elementwise term.
+    Phase 1 is then an exact PQP iteration for the perturbed problem —
+    monotone as ever — whose fixed point sits O(|Qd| * 2^-8) from the
+    true one.
+
+    Phase 1 exits per lane on certification (float32
+    :func:`check_terminate` on the true problem) or at the bf16 FLOOR,
+    detected by comparing the gap of the BF16 problem itself (one cheap
+    bf16 matvec, ``g_bf = Y'(Qd_bf Y + Fd)``) against the true gap:
+    away from the bf16 fixed point the two track each other (measured
+    ratio 0.85-0.98 throughout the N=4096 midgame), while AT the fixed
+    point ``g_bf -> 0`` and the true gap pins to the perturbation floor
+    — so ``g_bf < floor_frac * g_true`` for ``floor_checks``
+    consecutive checks means further bf16 sweeps improve only the
+    perturbed problem and the lane hands off to float32.  PROGRESS-rate
+    stall detectors do not work here: the PQP gap trajectory has long
+    mid-solve plateaus (active-set resolution) that are
+    indistinguishable from a floor locally — a per-check ratio test
+    froze every lane by iteration ~500 while 16k+ productive bf16
+    iterations remained (measured).  Phase 2 warm-starts
+    :func:`solve_batched` (honoring ``cfg.use_pallas``).  Reported
+    ``iters`` = phase-1 iterations at freeze + phase-2 iterations, so
+    throughput accounting stays honest.
+
+    Shared-geometry batches only (2-D ``Qd``); for small N the f32
+    solve is VPU-bound and this path buys nothing — use it for the
+    streamed regime (N beyond ~1800).
+    """
+    if dual.Qd.ndim != 2:
+        raise ValueError("solve_mixed needs shared geometry (2-D Qd); "
+                         "distinct batches stream per-instance already")
+    prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
+    N = dual.n_con
+    B = _as2d(dual.Fd).shape[1]
+    if Y0 is None:
+        Y0 = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
+    else:
+        Y0 = _as2d(Y0)
+        if Y0.shape[1] == 1 and B > 1:
+            Y0 = jnp.broadcast_to(Y0, (N, B))
+        B = Y0.shape[1]
+
+    bf16 = jnp.bfloat16
+    Qd_bf = dual.Qd.astype(bf16)
+    Qdn_bf = jnp.maximum(-Qd_bf, 0)
+    Qdp_bf = jnp.maximum(Qd_bf, 0)
+    theta = jnp.maximum(jnp.sum(Qdn_bf.astype(jnp.float32), axis=1),
+                        cfg.theta_floor)[:, None]
+    Fdn = jnp.broadcast_to(_as2d(dual.Fdn), (N, B))
+    Fdp = jnp.broadcast_to(_as2d(dual.Fdp), (N, B))
+    Fd = _as2d(dual.Fd)
+    dot_bf = lambda Qb, Y: jnp.dot(Qb, Y.astype(bf16),
+                                   preferred_element_type=jnp.float32)
+
+    def upd(Y):
+        tY = theta * Y
+        num = dot_bf(Qdn_bf, Y) + tY + Fdn
+        den = dot_bf(Qdp_bf, Y) + tY + Fdp
+        if cfg.den_eps:
+            den = jnp.maximum(den, cfg.den_eps)
+        return (num / den) * Y
+
+    def accel_bf(Y, frozen):
+        # accel_step on the bf16 problem (same safeguarded algebra)
+        grad = dot_bf(Qd_bf, Y) + Fd
+        p = jnp.where((Y > 0.0) | (grad < 0.0), -grad, 0.0)
+        pQp = jnp.sum(p * dot_bf(Qd_bf, p), axis=0)
+        alpha = jnp.where(pQp > 0,
+                          jnp.sum(p * p, axis=0)
+                          / jnp.maximum(pQp, 1e-30), 0.0)
+        Yn = jnp.maximum(Y + alpha[None, :] * p, 0.0)
+        fY = 0.5 * jnp.sum(Y * (grad + Fd), axis=0)
+        fYn = (0.5 * jnp.sum(Yn * dot_bf(Qd_bf, Yn), axis=0)
+               + jnp.sum(Fd * Yn, axis=0))
+        keep = (fYn <= fY) & ~frozen
+        return jnp.where(keep[None, :], Yn, Y)
+
+    k = cfg.check_every
+
+    def run_updates(Y, frozen):
+        def mult(n, Yc):
+            def body(_, Yi):
+                return jnp.where(frozen[None, :], Yi, upd(Yi))
+            return lax.fori_loop(0, n, body, Yc)
+        if not cfg.accel_every:
+            return mult(k, Y)
+
+        def chunk(_, Yc):
+            return accel_bf(mult(cfg.accel_every, Yc), frozen)
+        return lax.fori_loop(0, k // cfg.accel_every, chunk, Y)
+
+    def true_gap(Y, Jp, Jd):
+        if cfg.gap_from_complementarity:
+            return complementarity_gap(dual, Y, prec)
+        return Jp + Jd
+
+    def cond(state):
+        Y, frozen, h, iters, slow = state
+        return jnp.logical_and(~jnp.all(frozen), h <= cfg.max_iters)
+
+    def body(state):
+        Y, frozen, h, iters, slow = state
+        ok, _, _, Jp, Jd = check_terminate(primal, dual, Y, cfg, prec)
+        g = jnp.abs(true_gap(Y, Jp, Jd))
+        g_bf = jnp.abs(jnp.sum(Y * (dot_bf(Qd_bf, Y) + Fd), axis=0))
+        bad = ~jnp.all(jnp.isfinite(Y), axis=0) & ~frozen
+        slow = jnp.where(g_bf < floor_frac * g, slow + 1, 0)
+        at_floor = slow >= floor_checks
+        newly = (ok | bad | at_floor) & ~frozen
+        iters = jnp.where(newly, h, iters)
+        frozen = frozen | newly
+        Y = run_updates(Y, frozen)
+        return (Y, frozen, h + jnp.int32(k), iters, slow)
+
+    frozen0 = jnp.zeros((B,), bool)
+    iters0 = jnp.zeros((B,), jnp.int32)
+    slow0 = jnp.zeros((B,), jnp.int32)
+    Y1, frozen, h, it1, _ = lax.while_loop(
+        cond, body, (Y0, frozen0, jnp.int32(0), iters0, slow0))
+    it1 = jnp.where(frozen, it1, h)
+
+    res = solve_batched(primal, dual, Y0=Y1, cfg=cfg)
+    return dataclasses.replace(res, iters=res.iters + it1)
 
 
 def solve(primal: PrimalQP, dual: Optional[DualQP] = None,

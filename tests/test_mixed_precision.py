@@ -1,0 +1,139 @@
+"""Mixed-precision (bf16 bulk + f32 refine) solve: solver.solve_mixed.
+
+The certification always runs in float32 on the TRUE problem, so the
+bar here is exact: solve_mixed must converge wherever solve_batched
+does and land on the same U* (same tolerances, same four-part test).
+The bf16 phase is a throughput device only — measured 3.0-4.7x over
+the f32 XLA path at N=4096 on v5e (benchmarks/bench_mixed.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _example(example_data):
+    from pqp_for_mpc_tpu.dual import dualize
+    primal = example_data.assemble(Qp=example_data.qp())
+    return primal, dualize(primal)
+
+
+def _random_qp(N=96, M=32, B=4, seed=0):
+    from pqp_for_mpc_tpu.dual import dualize
+    from pqp_for_mpc_tpu.problem import PrimalQP
+
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(0, 1, (M, M)).astype(np.float32)
+    Qp = Q @ Q.T + M * np.eye(M, dtype=np.float32)
+    primal = PrimalQP(
+        Qp=jnp.asarray(Qp),
+        Qp_inv=jnp.asarray(np.linalg.inv(Qp).astype(np.float32)),
+        Fp=jnp.asarray(rng.normal(0, 3, (M, B)).astype(np.float32)),
+        Mp=jnp.zeros((B,), jnp.float32),
+        Gp=jnp.asarray(rng.normal(0, 1, (N, M)).astype(np.float32)),
+        Kp=jnp.asarray(rng.uniform(1, 10, N).astype(np.float32)))
+    return primal, dualize(primal)
+
+
+def test_mixed_matches_f32_on_golden(example_data):
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
+
+    primal, dual = _example(example_data)
+    cfg = SolverConfig(max_iters=20000, check_every=8,
+                       strict_weak_duality=False)
+    r32 = solve_batched(primal, dual, cfg=cfg)
+    rmx = solve_mixed(primal, dual, cfg=cfg)
+    assert bool(np.asarray(rmx.converged).all())
+    np.testing.assert_allclose(np.asarray(rmx.U), np.asarray(r32.U),
+                               rtol=1e-4, atol=1e-4)
+    assert int(np.asarray(rmx.iters)[0]) > 0
+
+
+def test_mixed_with_accel_random_batch():
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
+
+    primal, dual = _random_qp(B=4)
+    cfg = SolverConfig(max_iters=50000, check_every=8, accel_every=4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    r32 = solve_batched(primal, dual, cfg=cfg)
+    rmx = solve_mixed(primal, dual, cfg=cfg)
+    assert np.asarray(rmx.converged).sum() == np.asarray(r32.converged).sum()
+    both = np.asarray(rmx.converged) & np.asarray(r32.converged)
+    assert both.any()
+    np.testing.assert_allclose(np.asarray(rmx.U)[:, both],
+                               np.asarray(r32.U)[:, both],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_mixed_under_jit():
+    """The production calling convention (the eager path re-materializes
+    the bf16 geometry per call; under jit it is compiled in once)."""
+    from pqp_for_mpc_tpu import SolverConfig, solve_mixed
+
+    primal, dual = _random_qp(B=2, seed=5)
+    cfg = SolverConfig(max_iters=50000, check_every=8, accel_every=4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    run = jax.jit(lambda: solve_mixed(primal, dual, cfg=cfg))
+    r = run()
+    assert bool(np.asarray(r.converged).all()), r.stats()
+
+
+def test_mixed_warm_start():
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
+
+    primal, dual = _random_qp(B=3, seed=1)
+    cfg = SolverConfig(max_iters=50000, check_every=8, accel_every=4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    r = solve_batched(primal, dual, cfg=cfg)
+    rw = solve_mixed(primal, dual, Y0=jnp.maximum(r.Y, 0.01), cfg=cfg)
+    assert bool(np.asarray(rw.converged).all())
+    # warm-started from the solution: total iterations must be small
+    assert int(np.asarray(rw.iters).max()) <= 64
+
+
+def test_mixed_rejects_distinct_geometry():
+    from pqp_for_mpc_tpu import SolverConfig, solve_mixed
+    from pqp_for_mpc_tpu.dual import dualize_distinct
+    from pqp_for_mpc_tpu.problem import PrimalQP
+
+    rng = np.random.default_rng(2)
+    B, M, N = 2, 8, 24
+    Qps = []
+    for _ in range(B):
+        Q = rng.normal(0, 1, (M, M)).astype(np.float32)
+        Qps.append(Q @ Q.T + M * np.eye(M, dtype=np.float32))
+    primal = PrimalQP(
+        Qp=jnp.asarray(np.stack(Qps)),
+        Qp_inv=jnp.asarray(np.stack([np.linalg.inv(q) for q in Qps])
+                           .astype(np.float32)),
+        Fp=jnp.asarray(rng.normal(0, 1, (M, B)).astype(np.float32)),
+        Mp=jnp.zeros((B,), jnp.float32),
+        Gp=jnp.asarray(rng.normal(0, 1, (B, N, M)).astype(np.float32)),
+        Kp=jnp.asarray(rng.uniform(1, 5, (N, B)).astype(np.float32)))
+    dual = dualize_distinct(primal)
+    with pytest.raises(ValueError, match="shared geometry"):
+        solve_mixed(primal, dual, cfg=None or __import__(
+            "pqp_for_mpc_tpu").SolverConfig(max_iters=100))
+
+
+def test_mixed_consistent_split_invariants():
+    """The split construction solve_mixed relies on: one rounding of Qd,
+    exact elementwise split, theta dominating the ROUNDED negative
+    rowsums — the invariants whose violation made the naive two-sided
+    rounding diverge (Y -> 3e9, see solve_mixed docstring)."""
+    _, dual = _random_qp(seed=3)
+    bf16 = jnp.bfloat16
+    Qd_bf = dual.Qd.astype(bf16)
+    Qdn = jnp.maximum(-Qd_bf, 0)
+    Qdp = jnp.maximum(Qd_bf, 0)
+    # exact split of the rounded matrix: difference reproduces it exactly
+    np.testing.assert_array_equal(
+        np.asarray((Qdp - Qdn).astype(jnp.float32)),
+        np.asarray(Qd_bf.astype(jnp.float32)))
+    theta = jnp.maximum(jnp.sum(Qdn.astype(jnp.float32), axis=1), 5.0)
+    assert bool((theta >= jnp.diagonal(Qdn).astype(jnp.float32)).all())
