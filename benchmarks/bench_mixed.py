@@ -12,7 +12,15 @@ Both paths are timed under jit with a device-side scalar fence
 mixed path MUST be jitted — called eagerly it re-materializes the
 three bf16 matrices every call.
 
-Run: ``python benchmarks/bench_mixed.py [--n 4096] [--accel]``.
+``--distinct`` switches to per-instance geometry (3-D ``Qd``, the
+einsum path, bench_distinct's gaussian-Gp family at B=8) — there the
+mixed phase's theta comes from each instance's own rounded rowsums.
+The jitted callables take (primal, dual) as ARGUMENTS — closing over
+them bakes hundreds of MB of constants into the remote-compile payload
+and the tunnel rejects it (HTTP 413).
+
+Run: ``python benchmarks/bench_mixed.py [--n 4096] [--accel]
+[--distinct]``.
 """
 
 from __future__ import annotations
@@ -36,38 +44,60 @@ def main():
     ap.add_argument("--max-iters", type=int, default=30000)
     ap.add_argument("--check-every", type=int, default=16)
     ap.add_argument("--accel", action="store_true")
+    ap.add_argument("--distinct", action="store_true",
+                    help="per-instance geometry (3-D Qd, einsum path); "
+                         "sizes default to 8 x N=2048/M=512")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    from bench_tiled_solve import build
     from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
-    from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
 
     fence = jax.jit(lambda u: jnp.sum(u))
-    N, M, B = args.n, args.m, args.b
-    primal, dual = build(N, M, B)
     k = args.check_every
     cfg = SolverConfig(max_iters=args.max_iters, check_every=k,
                        accel_every=k if args.accel else 0,
                        strict_weak_duality=False,
                        gap_from_complementarity=True)
 
-    paths = {
-        "f32_xla": jax.jit(lambda: solve_batched(primal, dual, cfg=cfg)),
-        "tiled_kernel": lambda: solve_fused_tiled(primal, dual, cfg=cfg),
-        "mixed": jax.jit(lambda: solve_mixed(primal, dual, cfg=cfg)),
-    }
+    if args.distinct:
+        from bench_distinct import make_instances
+        from pqp_for_mpc_tpu.dual import dualize_distinct
+        N, M, B = (2048 if args.n == 4096 else args.n,
+                   512 if args.m == 1024 else args.m,
+                   8 if args.b == 128 else args.b)
+        cfg = SolverConfig(max_iters=args.max_iters, check_every=k,
+                           accel_every=k if args.accel else 0,
+                           strict_weak_duality=False,
+                           gap_from_complementarity=True,
+                           erc=1e-6, eac=1e-6, eaj=1e-6, erj=1e-6)
+        primal = make_instances(B, M, N, seed=0, gaussian_gp=True)
+        dual = dualize_distinct(primal, theta_floor=cfg.theta_floor)
+        paths = {
+            "f32_xla": jax.jit(partial(solve_batched, cfg=cfg)),
+            "mixed": jax.jit(partial(solve_mixed, cfg=cfg)),
+        }
+    else:
+        from bench_tiled_solve import build
+        from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
+        N, M, B = args.n, args.m, args.b
+        primal, dual = build(N, M, B)
+        paths = {
+            "f32_xla": jax.jit(partial(solve_batched, cfg=cfg)),
+            "tiled_kernel": lambda p, d: solve_fused_tiled(p, d, cfg=cfg),
+            "mixed": jax.jit(partial(solve_mixed, cfg=cfg)),
+        }
     results, times = {}, {}
     for name, fn in paths.items():
-        r = fn()
+        r = fn(primal, dual)
         float(fence(r.U))                    # compile + first run
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            r = fn()
+            r = fn(primal, dual)
             float(fence(r.U))                # scalar fence
             best = min(best, time.perf_counter() - t0)
         results[name], times[name] = r, best
@@ -77,7 +107,7 @@ def main():
     row = {"bench": "mixed_precision_solve", "device": str(jax.devices()[0]),
            "N": N, "M": M, "B": B, "max_iters": args.max_iters,
            "check_every": k, "accel": args.accel,
-           "mode": "complementarity"}
+           "distinct": args.distinct, "mode": "complementarity"}
     for name in paths:
         r = results[name]
         row[f"{name}_s"] = round(times[name], 4)
@@ -86,8 +116,9 @@ def main():
     row["max_dU_mixed_vs_f32"] = float(np.max(
         np.abs(np.asarray(rm.U) - np.asarray(rx.U))[:, both], initial=0.0))
     row["speedup_vs_f32"] = round(times["f32_xla"] / times["mixed"], 2)
-    row["speedup_vs_tiled_kernel"] = round(
-        times["tiled_kernel"] / times["mixed"], 2)
+    if "tiled_kernel" in paths:
+        row["speedup_vs_tiled_kernel"] = round(
+            times["tiled_kernel"] / times["mixed"], 2)
     print(json.dumps(row), flush=True)
 
 

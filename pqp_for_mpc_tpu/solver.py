@@ -475,35 +475,45 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
     ``iters`` = phase-1 iterations at freeze + phase-2 iterations, so
     throughput accounting stays honest.
 
-    Shared-geometry batches only (2-D ``Qd``); for small N the f32
-    solve is VPU-bound and this path buys nothing — use it for the
-    streamed regime (N beyond ~1800).
+    Accepts shared geometry (2-D ``Qd``, batch = forcing lanes) and
+    DISTINCT per-instance geometry (3-D ``Qd (B, N, N)``, the einsum
+    path — theta then comes from each instance's own rounded rowsums).
+    For small N the f32 solve is VPU-bound and this path buys nothing —
+    use it for the streamed regime (N beyond ~1800).  Call it under
+    ``jit``: the bf16 geometry otherwise re-materializes per call
+    (measured 6x slower eager at N=4096).
     """
-    if dual.Qd.ndim != 2:
-        raise ValueError("solve_mixed needs shared geometry (2-D Qd); "
-                         "distinct batches stream per-instance already")
+    distinct = dual.Qd.ndim == 3        # per-instance geometry (B, N, N)
     prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
     N = dual.n_con
-    B = _as2d(dual.Fd).shape[1]
+    B = dual.Qd.shape[0] if distinct else _as2d(dual.Fd).shape[1]
     if Y0 is None:
         Y0 = jnp.full((N, B), cfg.y0, dtype=jnp.float32)
     else:
         Y0 = _as2d(Y0)
         if Y0.shape[1] == 1 and B > 1:
             Y0 = jnp.broadcast_to(Y0, (N, B))
-        B = Y0.shape[1]
+        elif not distinct:
+            B = Y0.shape[1]
 
     bf16 = jnp.bfloat16
     Qd_bf = dual.Qd.astype(bf16)
     Qdn_bf = jnp.maximum(-Qd_bf, 0)
     Qdp_bf = jnp.maximum(Qd_bf, 0)
-    theta = jnp.maximum(jnp.sum(Qdn_bf.astype(jnp.float32), axis=1),
-                        cfg.theta_floor)[:, None]
+    # rowsums of the ROUNDED negative part, (N,) or per-instance (B, N)
+    rs = jnp.sum(Qdn_bf.astype(jnp.float32), axis=-1)
+    theta = jnp.maximum(rs.T if distinct else rs[:, None],
+                        cfg.theta_floor)
     Fdn = jnp.broadcast_to(_as2d(dual.Fdn), (N, B))
     Fdp = jnp.broadcast_to(_as2d(dual.Fdp), (N, B))
     Fd = _as2d(dual.Fd)
-    dot_bf = lambda Qb, Y: jnp.dot(Qb, Y.astype(bf16),
-                                   preferred_element_type=jnp.float32)
+    if distinct:
+        dot_bf = lambda Qb, Y: jnp.einsum(
+            "bij,jb->ib", Qb, Y.astype(bf16),
+            preferred_element_type=jnp.float32)
+    else:
+        dot_bf = lambda Qb, Y: jnp.dot(Qb, Y.astype(bf16),
+                                       preferred_element_type=jnp.float32)
 
     def upd(Y):
         tY = theta * Y

@@ -96,13 +96,15 @@ def test_mixed_warm_start():
     assert int(np.asarray(rw.iters).max()) <= 64
 
 
-def test_mixed_rejects_distinct_geometry():
-    from pqp_for_mpc_tpu import SolverConfig, solve_mixed
+def test_mixed_distinct_geometry_matches_f32():
+    """Per-instance (3-D Qd) batches ride the same bf16 bulk phase —
+    theta from each instance's OWN rounded rowsums."""
+    from pqp_for_mpc_tpu import SolverConfig, solve_batched, solve_mixed
     from pqp_for_mpc_tpu.dual import dualize_distinct
     from pqp_for_mpc_tpu.problem import PrimalQP
 
     rng = np.random.default_rng(2)
-    B, M, N = 2, 8, 24
+    B, M, N = 3, 16, 48
     Qps = []
     for _ in range(B):
         Q = rng.normal(0, 1, (M, M)).astype(np.float32)
@@ -111,14 +113,22 @@ def test_mixed_rejects_distinct_geometry():
         Qp=jnp.asarray(np.stack(Qps)),
         Qp_inv=jnp.asarray(np.stack([np.linalg.inv(q) for q in Qps])
                            .astype(np.float32)),
-        Fp=jnp.asarray(rng.normal(0, 1, (M, B)).astype(np.float32)),
+        Fp=jnp.asarray(rng.normal(0, 2, (M, B)).astype(np.float32)),
         Mp=jnp.zeros((B,), jnp.float32),
         Gp=jnp.asarray(rng.normal(0, 1, (B, N, M)).astype(np.float32)),
         Kp=jnp.asarray(rng.uniform(1, 5, (N, B)).astype(np.float32)))
     dual = dualize_distinct(primal)
-    with pytest.raises(ValueError, match="shared geometry"):
-        solve_mixed(primal, dual, cfg=None or __import__(
-            "pqp_for_mpc_tpu").SolverConfig(max_iters=100))
+    cfg = SolverConfig(max_iters=50000, check_every=8, accel_every=4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    r32 = solve_batched(primal, dual, cfg=cfg)
+    rmx = solve_mixed(primal, dual, cfg=cfg)
+    assert np.asarray(rmx.converged).sum() == np.asarray(r32.converged).sum()
+    both = np.asarray(rmx.converged) & np.asarray(r32.converged)
+    assert both.any()
+    np.testing.assert_allclose(np.asarray(rmx.U)[:, both],
+                               np.asarray(r32.U)[:, both],
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_mixed_consistent_split_invariants():
