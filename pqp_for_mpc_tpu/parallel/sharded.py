@@ -71,13 +71,15 @@ def shard_batch(primal: PrimalQP, dual: DualQP, mesh: Mesh,
     return primal, dual
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis", "model_axis"))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis",
+                                   "model_axis", "mixed"))
 def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                       Y0: Optional[jax.Array] = None,
                       cfg: SolverConfig = SolverConfig(),
                       *, mesh: Mesh,
                       data_axis: str = "data",
-                      model_axis: str = "model") -> SolveResult:
+                      model_axis: str = "model",
+                      mixed: bool = False) -> SolveResult:
     """Tensor-parallel PQP solve with the dual dimension N row-sharded over
     ``model_axis`` and the batch sharded over ``data_axis``.
 
@@ -85,6 +87,15 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
     mesh.shape[data_axis] (pad the batch; pad N via the caller if needed —
     padded rows with identity diagonal and Y=1 are fixed points, see
     ops.kernels).
+
+    ``mixed=True`` prepends the bfloat16 bulk phase of
+    :func:`pqp_for_mpc_tpu.solver.solve_mixed` in row-sharded form:
+    each device streams its bf16 row blocks (half the HBM bytes) AND the
+    per-iteration ``all_gather(Y)`` rides the ICI in bf16 (half the
+    interconnect bytes — the TP matvec's collective is the other
+    bandwidth term at scale).  Same consistent-rounding construction
+    and bf16-floor handoff as solve_mixed; certification stays float32
+    on the true problem.
     """
     prec = lax.Precision.HIGHEST if cfg.precision == "highest" else None
     N = dual.n_con
@@ -110,6 +121,20 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
     Fdp2 = jnp.broadcast_to(_as2d(dual.Fdp), (N, B))
     Fdn2 = jnp.broadcast_to(_as2d(dual.Fdn), (N, B))
 
+    bf16 = jnp.bfloat16
+    if mixed:
+        # consistent rounding (see solver.solve_mixed): ONE cast of Qd,
+        # exact elementwise split, theta from the ROUNDED negative
+        # rowsums, applied as a separate f32 diagonal term
+        Qd_bf = dual.Qd.astype(bf16)
+        Qdn_bf = jnp.maximum(-Qd_bf, 0)
+        Qdp_bf = jnp.maximum(Qd_bf, 0)
+        theta_mix = jnp.maximum(
+            jnp.sum(Qdn_bf.astype(jnp.float32), axis=1), cfg.theta_floor)
+    else:   # placeholders keep one inner signature (never read)
+        Qd_bf = Qdn_bf = Qdp_bf = jnp.zeros((mp, 1), bf16)
+        theta_mix = jnp.zeros((mp,), jnp.float32)
+
     k = cfg.check_every
     row = P(model_axis, None)          # row blocks of N x * matrices
     panel = P(model_axis, data_axis)   # (N, B) panels
@@ -118,11 +143,20 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
     repl = P()
 
     def inner(Qd_b, Qdn_b, Qdp_b, Fd_b, Fdp_b, Fdn_b, Kp_b, Gp_b,
-              Qp, Qp_inv, Fp_l, Mp_l, Md_l, Y0_b):
+              Qp, Qp_inv, Fp_l, Mp_l, Md_l, Y0_b,
+              Qdbf_b, Qdnbf_b, Qdpbf_b, thm_b):
         Bl = Y0_b.shape[1]
 
         def gather(Yb):
             return lax.all_gather(Yb, model_axis, axis=0, tiled=True)
+
+        def gather_bf(Yb):
+            # the TP collective in bf16: half the ICI bytes
+            return lax.all_gather(Yb.astype(bf16), model_axis,
+                                  axis=0, tiled=True)
+
+        mm_bf = lambda Qb, Yf: jnp.matmul(
+            Qb, Yf, preferred_element_type=jnp.float32)
 
         slack_b = Kp_b + jnp.maximum(cfg.erc * Kp_b, cfg.eac)
 
@@ -226,10 +260,85 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
             return (Yb, done, h + jnp.int32(k), iters, div,
                     global_unsolved(done))
 
+        it_mix = jnp.zeros((Bl,), jnp.int32)
+        Y_start = Y0_b
+        if mixed:
+            def upd_bf(Yl, frozen):
+                Yf = gather_bf(Yl)
+                tY = thm_b[:, None] * Yl
+                num = mm_bf(Qdnbf_b, Yf) + tY + Fdn_b
+                den = mm_bf(Qdpbf_b, Yf) + tY + Fdp_b
+                if cfg.den_eps:
+                    den = jnp.maximum(den, cfg.den_eps)
+                return jnp.where(frozen[None, :], Yl, (num / den) * Yl)
+
+            def accel_bf(Yb, frozen):
+                Yf = gather_bf(Yb)
+                grad_b = mm_bf(Qdbf_b, Yf) + Fd_b
+                p_b = jnp.where((Yb > 0.0) | (grad_b < 0.0), -grad_b, 0.0)
+                pf = gather_bf(p_b)
+                pQp = lax.psum(jnp.sum(p_b * mm_bf(Qdbf_b, pf), axis=0),
+                               model_axis)
+                p2 = lax.psum(jnp.sum(p_b * p_b, axis=0), model_axis)
+                alpha = jnp.where(pQp > 0,
+                                  p2 / jnp.maximum(pQp, 1e-30), 0.0)
+                Yn_b = jnp.maximum(Yb + alpha[None, :] * p_b, 0.0)
+                fY = lax.psum(jnp.sum(0.5 * Yb * (grad_b + Fd_b), axis=0),
+                              model_axis)
+                Ynf = gather_bf(Yn_b)
+                fYn = lax.psum(
+                    jnp.sum(0.5 * Yn_b * mm_bf(Qdbf_b, Ynf)
+                            + Fd_b * Yn_b, axis=0), model_axis)
+                keep = (fYn <= fY) & ~frozen
+                return jnp.where(keep[None, :], Yn_b, Yb)
+
+            def run_bf(Yb, frozen):
+                if not cfg.accel_every:
+                    return lax.fori_loop(
+                        0, k, lambda _, Y: upd_bf(Y, frozen), Yb)
+
+                def chunk(_, Yc):
+                    Yc = lax.fori_loop(
+                        0, cfg.accel_every,
+                        lambda _, Y: upd_bf(Y, frozen), Yc)
+                    return accel_bf(Yc, frozen)
+                return lax.fori_loop(0, k // cfg.accel_every, chunk, Yb)
+
+            def cond_mx(state):
+                Yb, frozen, h, it, slow, unsolved = state
+                return jnp.logical_and(unsolved > 0, h <= cfg.max_iters)
+
+            def body_mx(state):
+                Yb, frozen, h, it, slow, _ = state
+                ok, _, _, Jp, Jd = check(Yb)
+                if cfg.gap_from_complementarity:
+                    QdY_b = jnp.matmul(Qd_b, gather(Yb), precision=prec)
+                    g = jnp.abs(lax.psum(
+                        jnp.sum(Yb * (QdY_b + Fd_b), axis=0), model_axis))
+                else:
+                    g = jnp.abs(Jp + Jd)
+                g_bf = jnp.abs(lax.psum(jnp.sum(
+                    Yb * (mm_bf(Qdbf_b, gather_bf(Yb)) + Fd_b),
+                    axis=0), model_axis))
+                bad = local_bad(Yb, frozen)
+                slow = jnp.where(g_bf < 0.25 * g, slow + 1, 0)
+                newly = (ok | bad | (slow >= 2)) & ~frozen
+                it = jnp.where(newly, h, it)
+                frozen = frozen | newly
+                Yb = run_bf(Yb, frozen)
+                return (Yb, frozen, h + jnp.int32(k), it, slow,
+                        global_unsolved(frozen))
+
+            st = (Y0_b, jnp.zeros((Bl,), bool), jnp.int32(0), it_mix,
+                  jnp.zeros((Bl,), jnp.int32), jnp.int32(1))
+            Y_start, frz, h1, it_mix, _, _ = lax.while_loop(
+                cond_mx, body_mx, st)
+            it_mix = jnp.where(frz, it_mix, h1)
+
         done0 = jnp.zeros((Bl,), bool)
         iters0 = jnp.zeros((Bl,), jnp.int32)
         div0 = jnp.zeros((Bl,), bool)
-        state = (Y0_b, done0, jnp.int32(1), iters0, div0, jnp.int32(1))
+        state = (Y_start, done0, jnp.int32(1), iters0, div0, jnp.int32(1))
         Yb, done, h, iters, div, _ = lax.while_loop(cond, body, state)
 
         ok, U, feas, Jp, Jd = check(Yb)
@@ -238,18 +347,20 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
         newly = ok & ~done & ~bad
         iters = jnp.where(newly, h, iters)
         done = done | ok | bad
-        iters = jnp.where(done, iters, h)
+        iters = jnp.where(done, iters, h) + it_mix
         return SolveResult(U=U, Y=Yb, iters=iters, converged=done & ~div,
                            feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
 
     fn = jax.shard_map(
         inner, mesh=mesh,
         in_specs=(row, row, row, panel, panel, panel,
-                  P(model_axis), row, repl, repl, colp, bvec, bvec, panel),
+                  P(model_axis), row, repl, repl, colp, bvec, bvec, panel,
+                  row, row, row, P(model_axis)),
         out_specs=SolveResult(U=colp, Y=panel, iters=bvec, converged=bvec,
                               feasible=bvec, Jp=bvec, Jd=bvec,
                               diverged=bvec),
         check_vma=False)
     return fn(dual.Qd, dual.Qdn_theta, dual.Qdp_theta, Fd2, Fdp2, Fdn2,
               primal.Kp, primal.Gp, primal.Qp, primal.Qp_inv,
-              Fp2, Mp1d, Md1d, Y0)
+              Fp2, Mp1d, Md1d, Y0,
+              Qd_bf, Qdn_bf, Qdp_bf, theta_mix)

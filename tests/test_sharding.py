@@ -142,3 +142,25 @@ def test_stagewise_data_parallel_matches_single_device():
     # razor-edge lanes may certify a few check periods apart
     assert (np.abs(np.asarray(res.iters).astype(np.int64)
                    - np.asarray(ref.iters)) <= 4 * cfg.check_every).all()
+
+
+def test_row_sharded_mixed_matches_f32():
+    """solve_row_sharded(mixed=True): the bf16 bulk phase in TP form —
+    bf16 row blocks AND a bf16 all_gather collective — must land on the
+    same certified solutions as the f32 sharded path (certification is
+    f32 on the true problem either way)."""
+    from pqp_for_mpc_tpu import SolverConfig
+    from pqp_for_mpc_tpu.parallel import make_mesh, solve_row_sharded
+
+    primal, dual = _batched_problem(B=4, N=128, M=32, seed=3)
+    cfg = SolverConfig(max_iters=50_000, check_every=8, accel_every=4,
+                       eaj=1e-3, erj=1e-5, strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    mesh = make_mesh(data=2, model=4)
+    ref = solve_row_sharded(primal, dual, cfg=cfg, mesh=mesh)
+    res = solve_row_sharded(primal, dual, cfg=cfg, mesh=mesh, mixed=True)
+    assert bool(np.asarray(res.converged).all())
+    assert bool(np.asarray(ref.converged).all())
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    assert int(np.asarray(res.iters).min()) > 0
