@@ -103,7 +103,14 @@ def cmd_solve_file(args) -> int:
     cfg = _build_solver_cfg(args)
     dual = dualize(primal, theta_floor=cfg.theta_floor)
     t0 = time.perf_counter()
-    res = solve(primal, dual, cfg=cfg)
+    if getattr(args, "mixed", False):
+        import jax
+        from functools import partial
+        from pqp_for_mpc_tpu.solver import solve_mixed
+        r = jax.jit(partial(solve_mixed, cfg=cfg))(primal, dual)
+        res = jax.tree.map(lambda a: a[..., 0] if a.ndim else a, r)
+    else:
+        res = solve(primal, dual, cfg=cfg)
     dt = time.perf_counter() - t0
     print(f"M={inst.M} N={inst.N} iters={int(res.iters)} "
           f"converged={bool(res.converged)} feasible={bool(res.feasible)} "
@@ -372,6 +379,9 @@ def main(argv=None) -> int:
     p.add_argument("--reference-quirks", action="store_true",
                    help="reproduce the reference harness reader's quirks "
                         "(random Kp overwrite; -1 entries flipped to 1)")
+    p.add_argument("--mixed", action="store_true",
+                   help="bf16 bulk phase + f32 certification "
+                        "(solver.solve_mixed; wins for large N)")
     _add_solver_flags(p)
     p.set_defaults(fn=cmd_solve_file)
 

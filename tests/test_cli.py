@@ -21,6 +21,27 @@ def test_generate_and_solve_file_roundtrip(tmp_path, capsys):
     assert rc in (0, 2)   # convergence depends on the random instance
 
 
+def test_solve_file_mixed_matches_f32(tmp_path, capsys):
+    """--mixed must print the same verdict/costs as the f32 path (the
+    certification is f32 either way)."""
+    from pqp_for_mpc_tpu.cli import main
+
+    out = str(tmp_path / "inst.txt")
+    assert main(["generate", "12", "30", "--seed", "5", "-o", out]) == 0
+    capsys.readouterr()
+    flags = ["--y0", "0.01", "--accel-every", "4", "--check-every", "8",
+             "--no-strict", "--max-iters", "50000",
+             "--eaj", "1e-3", "--erj", "1e-4"]
+    rc32 = main(["solve-file", out] + flags)
+    t32 = capsys.readouterr().out
+    rcmx = main(["solve-file", out, "--mixed"] + flags)
+    tmx = capsys.readouterr().out
+    assert rc32 == rcmx
+    jp32 = float(t32.split("Jp=")[1].split()[0])
+    jpmx = float(tmx.split("Jp=")[1].split()[0])
+    assert abs(jp32 - jpmx) <= 1e-3 * max(1.0, abs(jp32))
+
+
 def test_solve_example_dir(example_dir, capsys):
     from pqp_for_mpc_tpu.cli import main
 
