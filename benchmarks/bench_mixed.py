@@ -81,14 +81,19 @@ def main():
             "mixed": jax.jit(partial(solve_mixed, cfg=cfg)),
         }
     else:
+        import dataclasses
         from bench_tiled_solve import build
         from pqp_for_mpc_tpu.ops.tiled_solve_kernel import solve_fused_tiled
         N, M, B = args.n, args.m, args.b
         primal, dual = build(N, M, B)
+        cfg_k = dataclasses.replace(cfg, use_pallas=True)
         paths = {
             "f32_xla": jax.jit(partial(solve_batched, cfg=cfg)),
             "tiled_kernel": lambda p, d: solve_fused_tiled(p, d, cfg=cfg),
             "mixed": jax.jit(partial(solve_mixed, cfg=cfg)),
+            # bulk phase through the bf16 STREAMED kernel (one 2-byte
+            # matrix stream/update vs the XLA phase's two bf16 splits)
+            "mixed_kernel": jax.jit(partial(solve_mixed, cfg=cfg_k)),
         }
     results, times = {}, {}
     for name, fn in paths.items():

@@ -84,7 +84,8 @@ def pick_tiled_blocks(n: int, b: int,
     return (0, 0)
 
 
-def _kernel(num_iters, den_eps, precision, bn, qdhat_ref, theta_ref,
+def _kernel(num_iters, den_eps, precision, bn, sym_theta,
+            qdhat_ref, theta_ref,
             fdn_ref, fdp_ref, y0_ref, out_ref, ya_scr, yb_scr):
     t = pl.program_id(1)
     i = pl.program_id(2)
@@ -101,15 +102,28 @@ def _kernel(num_iters, den_eps, precision, bn, qdhat_ref, theta_ref,
     # precision: see distinct_kernel.py — Mosaic's default f32 dot uses
     # fast bf16 MXU passes; "highest" forces full-f32 passes.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32,
-                               precision=prec)
+    mdt = qdhat.dtype
+    dot = lambda a, b: jnp.dot(a, b.astype(mdt),
+                               preferred_element_type=f32,
+                               precision=None if mdt == jnp.bfloat16
+                               else prec)
 
     def step(y_in_ref, y_out_ref):
         y = y_in_ref[:]                               # full (n_pad, bb)
         yblk = y_in_ref[pl.ds(i * bn, bn), :]         # this block's rows
-        # on-the-fly splits of Qd_hat = Qd + θ·I (see module docstring)
-        num = dot(jnp.maximum(-qdhat, 0.0), y) + th * yblk + fdn
-        den = dot(jnp.maximum(qdhat, 0.0), y) + fdp
+        if sym_theta:
+            # bf16 mode: θ NOT folded into the streamed matrix — both
+            # sides carry the same f32 θ term so the split identity of
+            # the ONE rounded matrix holds exactly (solve_mixed's
+            # consistency requirement; an f32 θ against a rounded
+            # θ-in-diagonal would bias the update ratio)
+            tY = th * yblk
+            num = dot(jnp.maximum(-qdhat, 0), y) + tY + fdn
+            den = dot(jnp.maximum(qdhat, 0), y) + tY + fdp
+        else:
+            # on-the-fly splits of Qd_hat = Qd + θ·I (module docstring)
+            num = dot(jnp.maximum(-qdhat, 0), y) + th * yblk + fdn
+            den = dot(jnp.maximum(qdhat, 0), y) + fdp
         if den_eps:
             den = jnp.maximum(den, den_eps)
         new = (num / den) * yblk
@@ -134,7 +148,8 @@ def _kernel(num_iters, den_eps, precision, bn, qdhat_ref, theta_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_iters", "interpret", "block_n",
-                                    "block_b", "den_eps", "precision"))
+                                    "block_b", "den_eps", "precision",
+                                    "dtype"))
 def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
                                Fdn: jax.Array, Fdp: jax.Array,
                                Y: jax.Array, num_iters: int,
@@ -142,7 +157,8 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
                                block_n: int | None = None,
                                block_b: int | None = None,
                                den_eps: float = 0.0,
-                               precision: str = "highest") -> jax.Array:
+                               precision: str = "highest",
+                               dtype: str = "float32") -> jax.Array:
     """``num_iters`` PQP updates with the Hessian streamed from HBM.
 
     Drop-in semantic equivalent of
@@ -154,6 +170,15 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
     Shapes: ``Qd (N, N)``, ``theta (N,)``, panels ``(N, B)``.
     Exact wrt the XLA path whenever ``diag(Qd) ≥ 0`` (PSD construction);
     the diagonal is clamped at 0 to guard float-noise negatives.
+
+    ``dtype="bfloat16"`` streams the matrix in bfloat16 — HALF the
+    HBM bytes of the f32 stream and a QUARTER of the XLA split path:
+    the bulk-phase engine of :func:`pqp_for_mpc_tpu.solver.solve_mixed`
+    (whose consistency rules apply: the clamped Qd is rounded ONCE with
+    θ kept OUT of the matrix and applied as the same f32 term on both
+    sides of the update, and θ is raised to dominate the ROUNDED
+    negative rowsums).  The iterate stays float32 in VMEM; only the
+    matvec operand is cast.
     """
     N, B = Y.shape
     bn0, bb0 = pick_tiled_blocks(N, B)
@@ -170,17 +195,33 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
     b_pad = _round_up(_round_up(max(B, _LANE), _LANE), bb)
     dn, db = n_pad - N, b_pad - B
     f32 = jnp.float32
+    bf16_mode = dtype == "bfloat16"
 
-    # Qd_hat = Qd + diag(max(diag(Qd), 0) - diag(Qd) + θ): clamp + θ fold
     diag = jnp.diagonal(Qd)
-    qdhat = Qd.at[jnp.arange(N), jnp.arange(N)].set(
-        jnp.maximum(diag, 0.0) + theta)
-    if dn:
-        # padded coords: Qd_hat = I, θ = 1, forcing 0, Y = 1 — exact
-        # fixed point (num = θ·y = 1, den = relu(1)·1 = 1) with zero
-        # off-diagonal coupling into real coordinates.
-        qdhat = jnp.zeros((n_pad, n_pad), f32).at[:N, :N].set(qdhat)
-        qdhat = qdhat.at[jnp.arange(N, n_pad), jnp.arange(N, n_pad)].set(1.0)
+    if bf16_mode:
+        # ONE rounding of the clamped matrix; θ stays out (sym_theta) and
+        # is raised to dominate the ROUNDED negative rowsums so the
+        # multiplicative update stays monotone for the perturbed problem
+        qdhat = Qd.at[jnp.arange(N), jnp.arange(N)].set(
+            jnp.maximum(diag, 0.0)).astype(jnp.bfloat16)
+        theta = jnp.maximum(
+            theta, jnp.sum(jnp.maximum(-qdhat.astype(f32), 0.0), axis=1))
+        if dn:
+            # padded coords: Qd row = 0, θ = 1, forcing 0, Y = 1 — exact
+            # fixed point under the symmetric-θ update (num = den = θ·y)
+            qdhat = jnp.zeros((n_pad, n_pad), jnp.bfloat16) \
+                .at[:N, :N].set(qdhat)
+    else:
+        # Qd_hat = Qd + diag(max(diag(Qd), 0) - diag(Qd) + θ): clamp + fold
+        qdhat = Qd.at[jnp.arange(N), jnp.arange(N)].set(
+            jnp.maximum(diag, 0.0) + theta)
+        if dn:
+            # padded coords: Qd_hat = I, θ = 1, forcing 0, Y = 1 — exact
+            # fixed point (num = θ·y = 1, den = relu(1)·1 = 1) with zero
+            # off-diagonal coupling into real coordinates.
+            qdhat = jnp.zeros((n_pad, n_pad), f32).at[:N, :N].set(qdhat)
+            qdhat = qdhat.at[jnp.arange(N, n_pad),
+                             jnp.arange(N, n_pad)].set(1.0)
     theta_p = jnp.pad(theta.astype(f32), (0, dn), constant_values=1.0)
     theta_bc = jnp.broadcast_to(theta_p[:, None], (n_pad, _LANE))
     Fdn_p = jnp.pad(Fdn, ((0, dn), (0, db)))
@@ -198,7 +239,8 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
                         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_iters, den_eps, precision, bn),
+        functools.partial(_kernel, num_iters, den_eps, precision, bn,
+                          bf16_mode),
         grid=grid,
         in_specs=[slab, th_spec, rows, rows, full],
         out_specs=full,
@@ -208,7 +250,8 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=4 * n_pad * n_pad * b_pad * num_iters,
             bytes_accessed=(n_pad * n_pad * num_iters
-                            + 4 * n_pad * b_pad) * 4,
+                            * (2 if bf16_mode else 4)
+                            + 4 * n_pad * b_pad * 4),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,

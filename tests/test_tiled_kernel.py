@@ -128,3 +128,45 @@ def test_pick_tiled_blocks_plans_lane_aligned():
         # working set sanity: the chosen plan fits the budget it was given
     # far beyond any plan: must refuse rather than produce a bad plan
     assert pick_tiled_blocks(40000, 256) == (0, 0)
+
+
+def test_tiled_kernel_bf16_mode_consistent_construction():
+    """dtype="bfloat16": the streamed-matrix update must equal the XLA
+    emulation of solve_mixed's consistent construction — ONE rounding of
+    the (diagonal-clamped) Qd, exact elementwise split, f32 theta
+    applied symmetrically, theta raised to dominate the ROUNDED
+    negative rowsums."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.ops.tiled_kernel import fused_pqp_iterations_tiled
+
+    rng = np.random.default_rng(0)
+    N, B = 160, 8
+    Qd = rng.normal(0, 1, (N, N)).astype(np.float32)
+    Qd = (Qd + Qd.T) / 2
+    np.fill_diagonal(Qd, np.abs(np.diagonal(Qd)))
+    theta = np.maximum(np.sum(np.maximum(-Qd, 0), axis=1), 5.0) \
+        .astype(np.float32)
+    Fdn = rng.uniform(0, 1, (N, B)).astype(np.float32)
+    Fdp = rng.uniform(0, 1, (N, B)).astype(np.float32)
+    Y0 = rng.uniform(0.5, 2, (N, B)).astype(np.float32)
+
+    out = fused_pqp_iterations_tiled(
+        jnp.asarray(Qd), jnp.asarray(theta), jnp.asarray(Fdn),
+        jnp.asarray(Fdp), jnp.asarray(Y0), num_iters=5, interpret=True,
+        dtype="bfloat16")
+
+    bf = jnp.bfloat16
+    Qbf = jnp.asarray(Qd).astype(bf)
+    th = jnp.maximum(
+        jnp.asarray(theta),
+        jnp.sum(jnp.maximum(-Qbf.astype(jnp.float32), 0), axis=1))[:, None]
+    Y = jnp.asarray(Y0)
+    for _ in range(5):
+        yb = Y.astype(bf)
+        num = jnp.dot(jnp.maximum(-Qbf, 0), yb,
+                      preferred_element_type=jnp.float32) + th * Y + Fdn
+        den = jnp.dot(jnp.maximum(Qbf, 0), yb,
+                      preferred_element_type=jnp.float32) + th * Y + Fdp
+        Y = (num / den) * Y
+    np.testing.assert_allclose(np.asarray(out), np.asarray(Y),
+                               rtol=1e-5, atol=1e-5)
