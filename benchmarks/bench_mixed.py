@@ -96,7 +96,18 @@ def main():
             "mixed_kernel": jax.jit(partial(solve_mixed, cfg=cfg_k)),
         }
     results, times = {}, {}
-    for name, fn in paths.items():
+    for name, fn in list(paths.items()):
+        if name == "tiled_kernel":
+            # the r3 whole-solve kernel's resident set outgrows its VMEM
+            # budget around N ~ 6k; skip the column there
+            from pqp_for_mpc_tpu.ops.tiled_solve_kernel import \
+                tiled_solve_batch_block
+            from pqp_for_mpc_tpu.ops.kernels import _round_up, _LANE
+            np_ = _round_up(max(N, _LANE), _LANE)
+            mp_ = _round_up(max(M, _LANE), _LANE)
+            if tiled_solve_batch_block(np_, mp_, B) <= 0:
+                del paths[name]
+                continue
         r = fn(primal, dual)
         float(fence(r.U))                    # compile + first run
         best = float("inf")
