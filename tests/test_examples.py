@@ -70,6 +70,16 @@ def test_constrained_outputs_mpc(capsys):
     assert "bound honored: True" in out
 
 
+def test_large_n_mixed(capsys):
+    # tiny instance; the CPU backend emulates bf16 so no speedup is
+    # expected here — the example asserts CERTIFICATION parity, the
+    # hardware numbers live in benchmarks/MIXED_BENCH_r4.json
+    _run("large_n_mixed.py", [])
+    out = capsys.readouterr().out
+    assert "certified 8/8" in out
+    assert "max |dU|" in out
+
+
 def test_nonlinear_mpc(capsys):
     # 30 steps: asserts the swing-up is under way (|theta| < 0.5 rad
     # from 2.5); the full 60-step stabilization run is the example's
