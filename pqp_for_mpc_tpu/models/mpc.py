@@ -519,9 +519,13 @@ class MPCController:
         """Stage-wise dual with the stage-0 slew bounds moved to
         ``u_prev`` (additive delta from the build-time base, mirroring
         the condensed path's Kp update in :meth:`step`)."""
-        delta = jnp.asarray(u_prev, jnp.float32).reshape(-1) - self._u_base
+        up = jnp.asarray(u_prev, jnp.float32).reshape(-1)
+        delta = up - self._u_base
         Kp = self._sd.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
-        return dataclasses.replace(self._sd, Kp=Kp)
+        # keep the stored anchor in sync with the rewritten Kp rows —
+        # relinearize() reads sd.u_prev, not the rows (single source
+        # of truth; stale anchors silently revert slew bounds)
+        return dataclasses.replace(self._sd, Kp=Kp, u_prev=up)
 
     def reset(self):
         self._Y = None
@@ -758,7 +762,8 @@ class MPCController:
             x, u_prev, Y = carry
             delta = u_prev - u_base
             Kp = sd0.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
-            sd = dataclasses.replace(sd0, Kp=Kp)
+            # u_prev kept in sync with the Kp rows (relinearize reads it)
+            sd = dataclasses.replace(sd0, Kp=Kp, u_prev=u_prev)
             # certify-or-recover inside the solve dispatch (see the
             # condensed rollout's comment; same single-call-site fix)
             res = solve_stagewise(sd, x[:, None],

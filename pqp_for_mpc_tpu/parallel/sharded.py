@@ -72,14 +72,17 @@ def shard_batch(primal: PrimalQP, dual: DualQP, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis",
-                                   "model_axis", "mixed"))
+                                   "model_axis", "mixed",
+                                   "floor_frac", "floor_checks"))
 def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                       Y0: Optional[jax.Array] = None,
                       cfg: SolverConfig = SolverConfig(),
                       *, mesh: Mesh,
                       data_axis: str = "data",
                       model_axis: str = "model",
-                      mixed: bool = False) -> SolveResult:
+                      mixed: bool = False,
+                      floor_frac: float = 0.25,
+                      floor_checks: int = 2) -> SolveResult:
     """Tensor-parallel PQP solve with the dual dimension N row-sharded over
     ``model_axis`` and the batch sharded over ``data_axis``.
 
@@ -189,7 +192,9 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                     | (gap / jnp.abs(Jd) > cfg.erj))
             if cfg.strict_weak_duality:
                 fail = fail | weak
-            return ~fail, U, feas, Jp, Jd
+            # gap returned so the mixed phase's floor detector does not
+            # re-pay the all_gather + f32 Qd matvec this check just did
+            return ~fail, U, feas, Jp, Jd, gap
 
         def one_update(Yl, done):
             Yf = gather(Yl)
@@ -250,7 +255,7 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
 
         def body(state):
             Yb, done, h, iters, div, _ = state
-            ok, _, _, _, _ = check(Yb)
+            ok, _, _, _, _, _ = check(Yb)
             bad = local_bad(Yb, done)
             newly = ok & ~done & ~bad
             iters = jnp.where(newly, h, iters)
@@ -310,19 +315,14 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
 
             def body_mx(state):
                 Yb, frozen, h, it, slow, _ = state
-                ok, _, _, Jp, Jd = check(Yb)
-                if cfg.gap_from_complementarity:
-                    QdY_b = jnp.matmul(Qd_b, gather(Yb), precision=prec)
-                    g = jnp.abs(lax.psum(
-                        jnp.sum(Yb * (QdY_b + Fd_b), axis=0), model_axis))
-                else:
-                    g = jnp.abs(Jp + Jd)
+                ok, _, _, _, _, gap = check(Yb)
+                g = jnp.abs(gap)
                 g_bf = jnp.abs(lax.psum(jnp.sum(
                     Yb * (mm_bf(Qdbf_b, gather_bf(Yb)) + Fd_b),
                     axis=0), model_axis))
                 bad = local_bad(Yb, frozen)
-                slow = jnp.where(g_bf < 0.25 * g, slow + 1, 0)
-                newly = (ok | bad | (slow >= 2)) & ~frozen
+                slow = jnp.where(g_bf < floor_frac * g, slow + 1, 0)
+                newly = (ok | bad | (slow >= floor_checks)) & ~frozen
                 it = jnp.where(newly, h, it)
                 frozen = frozen | newly
                 Yb = run_bf(Yb, frozen)
@@ -334,6 +334,13 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
             Y_start, frz, h1, it_mix, _, _ = lax.while_loop(
                 cond_mx, body_mx, st)
             it_mix = jnp.where(frz, it_mix, h1)
+            # non-finite phase-1 lanes would poison the f32 warm start
+            # (NaN is absorbing) — reset them to the cold start
+            lane_ok = lax.psum(jnp.sum(
+                (~jnp.isfinite(Y_start)).astype(jnp.int32), axis=0),
+                model_axis) == 0
+            Y_start = jnp.where(lane_ok[None, :], Y_start,
+                                jnp.float32(cfg.y0))
 
         done0 = jnp.zeros((Bl,), bool)
         iters0 = jnp.zeros((Bl,), jnp.int32)
@@ -341,7 +348,7 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
         state = (Y_start, done0, jnp.int32(1), iters0, div0, jnp.int32(1))
         Yb, done, h, iters, div, _ = lax.while_loop(cond, body, state)
 
-        ok, U, feas, Jp, Jd = check(Yb)
+        ok, U, feas, Jp, Jd, _ = check(Yb)
         bad = local_bad(Yb, done)
         div = div | bad
         newly = ok & ~done & ~bad

@@ -475,6 +475,13 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
     ``iters`` = phase-1 iterations at freeze + phase-2 iterations, so
     throughput accounting stays honest.
 
+    ``cfg.max_iters`` caps EACH phase separately (the reported
+    per-lane ``iters`` is the honest sum and may exceed it; a bf16
+    iteration costs ~1/3 of an f32 one, so the worst-case wall clock is
+    ~1.4x a pure f32 ``max_iters`` run, not 2x).  Non-finite phase-1
+    lanes are reset to the cold start before the refine — divergence in
+    the bulk phase costs time, never the verdict.
+
     Accepts shared geometry (2-D ``Qd``, batch = forcing lanes) and
     DISTINCT per-instance geometry (3-D ``Qd (B, N, N)``, the einsum
     path — theta then comes from each instance's own rounded rowsums).
@@ -609,6 +616,13 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
     Y1, frozen, h, it1, _ = lax.while_loop(
         cond, body, (Y0, frozen0, jnp.int32(0), iters0, slow0))
     it1 = jnp.where(frozen, it1, h)
+
+    # a lane that went non-finite in phase 1 would poison its f32 warm
+    # start forever (NaN/Inf are absorbing under the multiplicative
+    # update) — reset such lanes to the cold start so phase 2 can still
+    # solve them from scratch
+    lane_ok = jnp.all(jnp.isfinite(Y1), axis=0)
+    Y1 = jnp.where(lane_ok[None, :], Y1, jnp.float32(cfg.y0))
 
     res = solve_batched(primal, dual, Y0=Y1, cfg=cfg)
     return dataclasses.replace(res, iters=res.iters + it1)

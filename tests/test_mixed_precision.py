@@ -147,3 +147,20 @@ def test_mixed_consistent_split_invariants():
         np.asarray(Qd_bf.astype(jnp.float32)))
     theta = jnp.maximum(jnp.sum(Qdn.astype(jnp.float32), axis=1), 5.0)
     assert bool((theta >= jnp.diagonal(Qdn).astype(jnp.float32)).all())
+
+
+def test_mixed_nan_lane_recovers_via_cold_reset():
+    """A lane whose phase-1 iterate is non-finite must be reset to the
+    cold start before the f32 refine (NaN is absorbing under the
+    multiplicative update) — code-review r4 finding."""
+    from pqp_for_mpc_tpu import SolverConfig, solve_mixed
+
+    primal, dual = _random_qp(B=3, seed=4)
+    cfg = SolverConfig(max_iters=50000, check_every=8, accel_every=4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    N = dual.n_con
+    Y0 = jnp.full((N, 3), 1000.0, jnp.float32).at[:, 1].set(jnp.nan)
+    r = solve_mixed(primal, dual, Y0=Y0, cfg=cfg)
+    assert bool(np.asarray(r.converged).all()), r.stats()
+    assert np.isfinite(np.asarray(r.U)).all()

@@ -177,3 +177,23 @@ def test_rti_step_matches_rollout():
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(x), out["x"][t],
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_controller_uprev_kp_rows_stay_in_sync():
+    """The stagewise controller moves the slew anchor by rewriting Kp
+    rows; the stored u_prev field must move with them so a later
+    relinearize (which reads the field) keeps the moved bounds
+    (code-review r4 finding: stale-anchor silent revert)."""
+    from pqp_for_mpc_tpu.models import MPCController
+    from pqp_for_mpc_tpu.models.stagewise import relinearize
+
+    spec = _pendulum_spec(8)
+    ctrl = MPCController(spec, backend="stagewise")
+    up = np.array([0.73], np.float32)
+    sd = ctrl._sd_with_uprev(up)
+    np.testing.assert_allclose(np.asarray(sd.u_prev), up, atol=1e-6)
+    sd2 = relinearize(sd, np.asarray(spec.plant.A),
+                      np.asarray(spec.plant.B))
+    # rebuilt Kp rows reflect the MOVED anchor: Kp[2,0]-Kp[3,0] = 2 up
+    got = 0.5 * (np.asarray(sd2.Kp[2, 0]) - np.asarray(sd2.Kp[3, 0]))
+    np.testing.assert_allclose(got, up, atol=1e-5)
