@@ -29,11 +29,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="benchmarks/traces")
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--kernel", choices=("resident", "tiled_solve"),
+    ap.add_argument("--kernel",
+                    choices=("resident", "tiled_solve", "mixed"),
                     default="resident",
                     help="resident = example-sized whole-solve kernel; "
                          "tiled_solve = the N=4096 streamed single "
-                         "launch (ops/tiled_solve_kernel.py)")
+                         "launch (ops/tiled_solve_kernel.py); mixed = "
+                         "solve_mixed with the bf16 streamed-kernel "
+                         "bulk phase (solver.solve_mixed + "
+                         "ops/tiled_kernel.py dtype=bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +49,7 @@ def main():
     from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
     from pqp_for_mpc_tpu.utils.profiling import trace
 
-    if args.kernel == "tiled_solve":
+    if args.kernel in ("tiled_solve", "mixed"):
         from pqp_for_mpc_tpu.ops.tiled_solve_kernel import \
             solve_fused_tiled
         from pqp_for_mpc_tpu.problem import PrimalQP
@@ -64,7 +68,14 @@ def main():
         cfg = pqp.SolverConfig(max_iters=20000, check_every=16,
                                accel_every=16, strict_weak_duality=False,
                                gap_from_complementarity=True)
-        run = lambda: solve_fused_tiled(primal, dual, cfg=cfg)
+        if args.kernel == "mixed":
+            import dataclasses
+            from functools import partial
+            cfg = dataclasses.replace(cfg, use_pallas=True)
+            run_j = jax.jit(partial(pqp.solve_mixed, cfg=cfg))
+            run = lambda: run_j(primal, dual)
+        else:
+            run = lambda: solve_fused_tiled(primal, dual, cfg=cfg)
     else:
         data = load_example_dir("/root/reference/example")
         B = args.batch
