@@ -164,3 +164,45 @@ def test_mixed_nan_lane_recovers_via_cold_reset():
     r = solve_mixed(primal, dual, Y0=Y0, cfg=cfg)
     assert bool(np.asarray(r.converged).all()), r.stats()
     assert np.isfinite(np.asarray(r.U)).all()
+
+
+def test_bf16_phase_dual_objective_monotone():
+    """The consistent construction's load-bearing property: phase-1
+    updates must not increase the BF16 problem's dual objective
+    f(Y) = 1/2 Y'Qd_bf Y + Fd'Y (this is exactly what independent
+    rounding of the two splits destroyed — Y diverged to 3e9)."""
+    _, dual = _random_qp(N=128, M=48, B=4, seed=7)
+    bf16 = jnp.bfloat16
+    Qd_bf = dual.Qd.astype(bf16)
+    Qdn = jnp.maximum(-Qd_bf, 0)
+    Qdp = jnp.maximum(Qd_bf, 0)
+    theta = jnp.maximum(
+        jnp.sum(Qdn.astype(jnp.float32), axis=1), 5.0)[:, None]
+    Fd = dual.Fd[:, None] if dual.Fd.ndim == 1 else dual.Fd
+    Fdn = jnp.maximum(-Fd, 0.0)
+    Fdp = jnp.maximum(Fd, 0.0)
+
+    def f_bf(Y):
+        QdY = jnp.dot(Qd_bf, Y.astype(bf16),
+                      preferred_element_type=jnp.float32)
+        return np.asarray(0.5 * jnp.sum(Y * QdY, axis=0)
+                          + jnp.sum(Fd * Y, axis=0))
+
+    rng = np.random.default_rng(1)
+    Y = jnp.asarray(rng.uniform(0.5, 1000.0, (128, 4)).astype(np.float32))
+    prev = f_bf(Y)
+    for _ in range(60):
+        yb = Y.astype(bf16)
+        num = jnp.dot(Qdn, yb, preferred_element_type=jnp.float32) \
+            + theta * Y + Fdn
+        den = jnp.dot(Qdp, yb, preferred_element_type=jnp.float32) \
+            + theta * Y + Fdp
+        Y = (num / den) * Y
+        cur = f_bf(Y)
+        # small slack: the Y->bf16 cast inside the matvec adds noise at
+        # the rounding scale; the OBJECTIVE-scale trend must be down
+        assert (cur <= prev + 1e-3 * np.abs(prev) + 1e-3).all(), \
+            (cur, prev)
+        prev = cur
+    assert np.isfinite(np.asarray(Y)).all()
+    assert float(jnp.abs(Y).max()) < 1e6   # no divergence
