@@ -65,9 +65,9 @@ class MPCSpec:
     Qy: np.ndarray            # (ny, ny) or (H, ny, ny) tracking weight
     R: np.ndarray             # (nu, nu) or (H, nu, nu) input weight
     r: np.ndarray             # (ny,) or (H, ny) output reference
-    u_min: np.ndarray         # (nu,)
-    u_max: np.ndarray         # (nu,)
-    du_max: np.ndarray        # (nu,) slew-rate bound
+    u_min: np.ndarray         # (nu,) or per-stage (H, nu)
+    u_max: np.ndarray         # (nu,) or per-stage (H, nu)
+    du_max: np.ndarray        # (nu,) or (H, nu) slew-rate bound
     u_prev: Optional[np.ndarray] = None  # previous input for rate rows
     # Optional output (state) constraints y_min <= y_k <= y_max over the
     # horizon — beyond the reference's input-only constraint surface.
@@ -148,6 +148,20 @@ def prediction_matrices(plant: LinearPlant, H: int):
     return Sx, Su, Sd
 
 
+def _bound_flat(v, H: int, nu: int, xp):
+    """Flat (H*nu,) bound vector from a constant ``(nu,)`` bound or a
+    per-stage ``(H, nu)`` schedule (time-varying bounds: actuator
+    derating, terminal input boxes, move-blocking-style patterns)."""
+    dt = np.float64 if xp is np else None
+    a = xp.asarray(v, dt) if dt else xp.asarray(v, xp.float32)
+    if a.ndim == 2:
+        if a.shape != (H, nu):
+            raise ValueError(f"per-stage bound shape {a.shape} != "
+                             f"({H}, {nu})")
+        return a.reshape(-1)
+    return xp.tile(a, H)
+
+
 def input_constraints(spec: MPCSpec):
     """Box + slew-rate rows:  Gp U <= Kp,  N = 4*H*nu rows.
 
@@ -162,9 +176,9 @@ def input_constraints(spec: MPCSpec):
     T = jnp.eye(M, dtype=jnp.float32) - jnp.eye(M, k=-nu, dtype=jnp.float32)
     Gp = jnp.concatenate([I, -I, T, -T], axis=0)                 # (4M, M)
 
-    umax = jnp.tile(jnp.asarray(spec.u_max, jnp.float32), H)
-    umin = jnp.tile(jnp.asarray(spec.u_min, jnp.float32), H)
-    dmax = jnp.tile(jnp.asarray(spec.du_max, jnp.float32), H)
+    umax = _bound_flat(spec.u_max, H, nu, jnp)
+    umin = _bound_flat(spec.u_min, H, nu, jnp)
+    dmax = _bound_flat(spec.du_max, H, nu, jnp)
     uprev = jnp.zeros(nu, jnp.float32) if spec.u_prev is None else \
         jnp.asarray(spec.u_prev, jnp.float32)
     e1u = jnp.concatenate([uprev, jnp.zeros(M - nu, jnp.float32)])
@@ -267,9 +281,9 @@ def _input_constraints_f64(spec: MPCSpec):
     I = np.eye(M)
     T = np.eye(M) - np.eye(M, k=-nu)
     Gp = np.concatenate([I, -I, T, -T], axis=0)                  # (4M, M)
-    umax = np.tile(np.asarray(spec.u_max, np.float64), H)
-    umin = np.tile(np.asarray(spec.u_min, np.float64), H)
-    dmax = np.tile(np.asarray(spec.du_max, np.float64), H)
+    umax = _bound_flat(spec.u_max, H, nu, np)
+    umin = _bound_flat(spec.u_min, H, nu, np)
+    dmax = _bound_flat(spec.du_max, H, nu, np)
     uprev = np.zeros(nu) if spec.u_prev is None else \
         np.asarray(spec.u_prev, np.float64)
     e1u = np.concatenate([uprev, np.zeros(M - nu)])

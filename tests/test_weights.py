@@ -220,3 +220,33 @@ def test_relinearize_preserves_terminal_p():
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_per_stage_input_bounds_backends_agree():
+    """Per-stage (H, nu) input-bound schedules (actuator derating):
+    both backends honor them and agree on U*."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.models.stagewise import (solve_stagewise,
+                                                  stagewise_dual)
+
+    H = 8
+    # ramp the box down over the horizon; loosen slew late
+    umax = np.linspace(1.0, 0.3, H)[:, None].astype(np.float32)
+    spec = _di_spec(H, u_max=umax, u_min=-umax,
+                    du_max=np.linspace(0.5, 0.2, H)[:, None]
+                    .astype(np.float32))
+    x0 = np.array([[1.5], [0.2]], np.float32)
+    cfg = _cfg()
+    ref, primal = _condensed_solve(spec, x0, cfg)
+    assert bool(np.asarray(ref.converged).all())
+    U = np.asarray(ref.U).reshape(-1)
+    # the schedule binds: every stage respects ITS OWN bound, and the
+    # early stages exceed the late stages' tighter bound
+    assert (np.abs(U) <= umax.reshape(-1) + 2e-3).all()
+    assert np.abs(U[0]) > 0.3 + 1e-3
+
+    sd = stagewise_dual(spec, theta_floor=cfg.theta_floor)
+    res = solve_stagewise(sd, jnp.asarray(x0), cfg=cfg)
+    assert bool(np.asarray(res.converged).all()), res.stats()
+    np.testing.assert_allclose(np.asarray(res.U).reshape(-1), U,
+                               rtol=1e-3, atol=2e-3)
