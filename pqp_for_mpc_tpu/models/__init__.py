@@ -29,3 +29,5 @@ from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401
     stagewise_dual,
 )
 from pqp_for_mpc_tpu.models.rti import RTIController  # noqa: F401
+from pqp_for_mpc_tpu.models.estimator import (KalmanFilter,  # noqa: F401
+                                              kalman_gain)
