@@ -38,6 +38,13 @@ def test_scenario_batch(capsys):
     assert "solves/s" in capsys.readouterr().out
 
 
+def test_offset_free(capsys):
+    _run("offset_free_mpc.py", ["60"])
+    out = capsys.readouterr().out
+    assert "offset-free" in out
+    assert "all converged: True" in out
+
+
 def test_sharded_large_n(capsys):
     import jax
     if len(jax.devices()) < 2:
