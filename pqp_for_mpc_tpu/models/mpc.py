@@ -653,7 +653,7 @@ class MPCController:
         u0 = res.U[:nu]
         return u0, res
 
-    def rollout_jit(self, x0, steps: int):
+    def rollout_jit(self, x0, steps: int, d_forecast=None):
         """Fully-jitted closed loop: ``lax.scan`` over control steps with
         the PQP solve, constraint-vector rebuild (slew rows depend on the
         previous input) and plant propagation all in one compiled graph.
@@ -665,15 +665,41 @@ class MPCController:
         reference cannot express this at all — its solver is a main()
         per QP.
 
+        ``d_forecast`` — optional known-disturbance PREVIEW, a
+        ``(steps + H, nd)`` array (e.g. a weather forecast for the
+        reference-style thermal plant, whose ambient temperature is
+        exactly the ``D`` input the reference loads from file,
+        PQP_CPU.c:757-930 / example/D.txt): at step t the solver sees
+        the window ``d_forecast[t:t+H]`` as its predicted disturbance
+        sequence and the plant propagates with ``d_forecast[t]``.
+        Feedforward on known disturbances is standard production MPC;
+        the reference's fixed-file pipeline can only bake one constant
+        D into the forcing.
+
         Returns dict of stacked trajectories (x, u, iters, converged).
-        Disturbances and measurement noise are zero (use :meth:`rollout`
-        for custom per-step callables).
+        Measurement noise is zero (use :meth:`rollout` for custom
+        per-step callables, or
+        :class:`~pqp_for_mpc_tpu.models.offset_free.OffsetFreeController`
+        for UNMEASURED disturbances).
         """
-        run = self._rollout_fns.get(steps)
+        H, nd = self.spec.horizon, self.spec.plant.n_dist
+        key = (steps, d_forecast is not None)
+        run = self._rollout_fns.get(key)
         if run is None:
-            run = self._build_rollout_fn(steps)
-            self._rollout_fns[steps] = run
-        xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
+            run = self._build_rollout_fn(steps,
+                                         with_preview=d_forecast is not None)
+            self._rollout_fns[key] = run
+        if d_forecast is None:
+            xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
+        else:
+            df = jnp.asarray(d_forecast, jnp.float32).reshape(-1, nd)
+            if df.shape[0] < steps + H:
+                raise ValueError(f"d_forecast needs {steps + H} rows "
+                                 f"(steps + horizon), got {df.shape[0]}")
+            # per-step preview windows (steps, H, nd) by vectorized gather
+            idx = jnp.arange(steps)[:, None] + jnp.arange(H)[None, :]
+            xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32),
+                                      df[idx])
         return dict(x=np.asarray(xs), u=np.asarray(us),
                     iters=np.asarray(iters), converged=np.asarray(conv))
 
@@ -688,10 +714,10 @@ class MPCController:
                 "successive-linearization loops call step() per control "
                 "step (see examples/nonlinear_mpc.py)")
 
-    def _build_rollout_fn(self, steps: int):
+    def _build_rollout_fn(self, steps: int, with_preview: bool = False):
         self._check_lti_rollout()
         if self.backend == "stagewise":
-            return self._build_rollout_fn_stagewise(steps)
+            return self._build_rollout_fn_stagewise(steps, with_preview)
         spec, data, cfg = self.spec, self.data, self.cfg
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
@@ -699,6 +725,7 @@ class MPCController:
 
         A = jnp.asarray(plant.A, jnp.float32)
         Bm = jnp.asarray(plant.B, jnp.float32)
+        Em = jnp.asarray(plant.E, jnp.float32)
         geom = self._geom
         N = data.n_con
         D0 = jnp.zeros(H * nd, jnp.float32)
@@ -719,10 +746,12 @@ class MPCController:
 
         retry = self.retry_cold
 
-        def step(carry, _):
+        def step(carry, win):
             x, u_prev, Y = carry
+            # win: (H, nd) preview window, or None (zero disturbance)
+            D = D0 if win is None else win.reshape(-1)
             d2 = dataclasses.replace(data, Kp=kp_of(u_prev))
-            primal = d2.assemble(x=x, D=D0, Qp=Qp)
+            primal = d2.assemble(x=x, D=D, Qp=Qp)
             dual = dualize_forcing(geom, primal.Fp, primal.Mp, primal.Kp,
                                    cfg.precision)
             # certify-or-recover (see __init__) runs INSIDE the solve —
@@ -735,6 +764,8 @@ class MPCController:
                                 retry_cold=retry)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
+            if win is not None:
+                xn = xn + Em @ win[0]
             # next-step warm start honors the controller's mode
             if warm_mode == "shift":
                 Yn = self._shift_multipliers(res.Y)
@@ -745,16 +776,26 @@ class MPCController:
             return (xn, u0, Yn), (xn, u0, res.iters[0],
                                   res.converged[0])
 
-        @jax.jit
-        def run(x0):
-            init = (x0, jnp.zeros(nu, jnp.float32),
-                    jnp.full((N, 1), cfg.y0, jnp.float32))
-            _, traj = jax.lax.scan(step, init, None, length=steps)
-            return traj
+        if with_preview:
+            @jax.jit
+            def run(x0, windows):
+                init = (x0, jnp.zeros(nu, jnp.float32),
+                        jnp.full((N, 1), cfg.y0, jnp.float32))
+                _, traj = jax.lax.scan(step, init, windows)
+                return traj
+        else:
+            @jax.jit
+            def run(x0):
+                init = (x0, jnp.zeros(nu, jnp.float32),
+                        jnp.full((N, 1), cfg.y0, jnp.float32))
+                _, traj = jax.lax.scan(lambda cy, _: step(cy, None),
+                                       init, None, length=steps)
+                return traj
 
         return run
 
-    def _build_rollout_fn_stagewise(self, steps: int):
+    def _build_rollout_fn_stagewise(self, steps: int,
+                                    with_preview: bool = False):
         """Stage-wise analog of :meth:`_build_rollout_fn`: the whole
         closed loop — matrix-free solve included — in one lax.scan."""
         from pqp_for_mpc_tpu.models.stagewise import solve_stagewise
@@ -763,6 +804,7 @@ class MPCController:
         nu = plant.n_input
         A = jnp.asarray(plant.A, jnp.float32)
         Bm = jnp.asarray(plant.B, jnp.float32)
+        Em = jnp.asarray(plant.E, jnp.float32)
         sd0 = self._sd
         u_base = self._u_base
         floor = self.warm_start_floor
@@ -772,7 +814,7 @@ class MPCController:
 
         retry = self.retry_cold
 
-        def step(carry, _):
+        def step(carry, win):
             x, u_prev, Y = carry
             delta = u_prev - u_base
             Kp = sd0.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
@@ -780,11 +822,14 @@ class MPCController:
             sd = dataclasses.replace(sd0, Kp=Kp, u_prev=u_prev)
             # certify-or-recover inside the solve dispatch (see the
             # condensed rollout's comment; same single-call-site fix)
-            res = solve_stagewise(sd, x[:, None],
+            dseq = None if win is None else win[..., None]  # (H, nd, 1)
+            res = solve_stagewise(sd, x[:, None], dseq=dseq,
                                   Y0=jnp.maximum(Y, floor), cfg=cfg,
                                   retry_cold=retry)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
+            if win is not None:
+                xn = xn + Em @ win[0]
             if warm_mode == "shift":
                 Yn = self._shift_multipliers(res.Y)
             elif warm_mode:
@@ -794,12 +839,21 @@ class MPCController:
             return (xn, u0, Yn), (xn, u0, res.iters[0],
                                   res.converged[0])
 
-        @jax.jit
-        def run(x0):
-            init = (x0, jnp.zeros(nu, jnp.float32),
-                    jnp.full((N, 1), cfg.y0, jnp.float32))
-            _, traj = jax.lax.scan(step, init, None, length=steps)
-            return traj
+        if with_preview:
+            @jax.jit
+            def run(x0, windows):
+                init = (x0, jnp.zeros(nu, jnp.float32),
+                        jnp.full((N, 1), cfg.y0, jnp.float32))
+                _, traj = jax.lax.scan(step, init, windows)
+                return traj
+        else:
+            @jax.jit
+            def run(x0):
+                init = (x0, jnp.zeros(nu, jnp.float32),
+                        jnp.full((N, 1), cfg.y0, jnp.float32))
+                _, traj = jax.lax.scan(lambda cy, _: step(cy, None),
+                                       init, None, length=steps)
+                return traj
 
         return run
 
