@@ -229,7 +229,8 @@ def cmd_rollout(args) -> int:
         y_min=None if y_bound is None
         else np.full(ny, -y_bound, np.float32),
         y_max=None if y_bound is None
-        else np.full(ny, y_bound, np.float32))
+        else np.full(ny, y_bound, np.float32),
+        moves=getattr(args, "moves", None))
     backend = getattr(args, "backend", "condensed")
     ctrl = MPCController(
         spec, backend=backend,
@@ -247,7 +248,7 @@ def cmd_rollout(args) -> int:
     dt = time.perf_counter() - t0
     print(json.dumps({
         "plant": args.plant, "horizon": args.horizon, "steps": args.steps,
-        "backend": backend,
+        "backend": backend, "moves": getattr(args, "moves", None),
         "final_state_norm": round(float(np.linalg.norm(out["x"][-1])), 4),
         "iters_mean": round(float(out["iters"].mean()), 1),
         "iters_max": int(out["iters"].max()),
@@ -429,6 +430,11 @@ def main(argv=None) -> int:
     p.add_argument("--y-max", type=float, default=None,
                    help="symmetric output (state) bound |y| <= Y_MAX "
                         "— hard constraint rows on either backend")
+    p.add_argument("--moves", type=int, default=None,
+                   help="move blocking (condensed backend): hold the "
+                        "input constant over MOVES blocks spread over "
+                        "the horizon — the dual shrinks from 4*H*nu to "
+                        "4*MOVES*nu rows")
     p.set_defaults(fn=cmd_rollout)
 
     p = sub.add_parser("serve", help="JSON-lines solver daemon on stdio")

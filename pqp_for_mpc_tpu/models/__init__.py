@@ -17,6 +17,7 @@ from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401
     condense,
     dare_terminal_weight,
     input_constraints,
+    move_schedule,
     prediction_matrices,
 )
 from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401

@@ -83,6 +83,20 @@ class MPCSpec:
     # terminal term.  Enters Qp/Fp/Mp on the condensed path and the
     # Riccati init on the stage-wise path.
     P: Optional[np.ndarray] = None
+    # Move blocking (condensed backend): hold the input constant over
+    # blocks of stages, so the decision variable shrinks from H*nu to
+    # n_moves*nu and the dual from 4*H*nu to 4*n_moves*nu rows — the
+    # classic way to make long-horizon condensed MPC cheap (the dual
+    # Hessian shrinks QUADRATICALLY in the blocking factor).  Either an
+    # int (H split as evenly as possible) or an explicit tuple of
+    # per-move stage counts summing to H (e.g. (1, 1, 2, 4, 8, 16) —
+    # fine near now, coarse far out).  The COST still charges every
+    # stage; box bounds aggregate to the tightest in each block and
+    # slew rows live at block boundaries, so the blocked solution is
+    # feasible for the original per-stage constraints by construction.
+    # None = no blocking.  The stage-wise backend rejects it (it is
+    # already O(H) and blocking would break its Riccati structure).
+    moves: Optional[object] = None
 
 
 def prediction_matrices(plant: LinearPlant, H: int):
@@ -274,6 +288,64 @@ def _stage_weight_diag(W, H: int, n: int, name: str) -> np.ndarray:
     return out
 
 
+def move_schedule(moves, H: int) -> np.ndarray:
+    """Resolve ``MPCSpec.moves`` to an array of per-move stage counts.
+    An int n splits H as evenly as possible into n blocks (earlier
+    blocks get the remainder stage each — finer resolution near now);
+    a tuple is validated to positive ints summing to H."""
+    if isinstance(moves, (int, np.integer)):
+        n = int(moves)
+        if not 1 <= n <= H:
+            raise ValueError(f"moves={n} not in [1, {H}]")
+        base, rem = divmod(H, n)
+        return np.array([base + (1 if j < rem else 0) for j in range(n)])
+    lengths = np.asarray(moves, dtype=int)
+    if lengths.ndim != 1 or (lengths < 1).any() or lengths.sum() != H:
+        raise ValueError(f"move schedule {moves!r} must be positive "
+                         f"stage counts summing to horizon {H}")
+    return lengths
+
+
+def _blocking_matrix(lengths: np.ndarray, nu: int) -> np.ndarray:
+    """U = Mb V: ``Mb (H*nu, n_moves*nu)`` repeats move j's value over
+    its ``lengths[j]`` stages."""
+    H = int(lengths.sum())
+    n = len(lengths)
+    S = np.zeros((H, n))
+    k = 0
+    for j, L in enumerate(lengths):
+        S[k:k + L, j] = 1.0
+        k += L
+    return np.kron(S, np.eye(nu))
+
+
+def _blocked_input_constraints_f64(spec: MPCSpec, lengths: np.ndarray):
+    """Input rows on the blocked variable V: box bounds take the
+    TIGHTEST per-stage bound inside each block, slew rows sit at block
+    boundaries (within-block first differences are identically zero),
+    so ``U = Mb V`` satisfies every original per-stage row."""
+    H, nu = spec.horizon, spec.plant.n_input
+    n = len(lengths)
+    Mv = n * nu
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    umax = _bound_flat(spec.u_max, H, nu, np).reshape(H, nu)
+    umin = _bound_flat(spec.u_min, H, nu, np).reshape(H, nu)
+    dmax = _bound_flat(spec.du_max, H, nu, np).reshape(H, nu)
+    umax_v = np.stack([umax[s:s + L].min(axis=0)
+                       for s, L in zip(starts, lengths)]).reshape(-1)
+    umin_v = np.stack([umin[s:s + L].max(axis=0)
+                       for s, L in zip(starts, lengths)]).reshape(-1)
+    dmax_v = dmax[starts].reshape(-1)          # boundary-stage slew bound
+    I = np.eye(Mv)
+    T = np.eye(Mv) - np.eye(Mv, k=-nu)
+    Gp = np.concatenate([I, -I, T, -T], axis=0)                  # (4Mv, Mv)
+    uprev = np.zeros(nu) if spec.u_prev is None else \
+        np.asarray(spec.u_prev, np.float64)
+    e1u = np.concatenate([uprev, np.zeros(Mv - nu)])
+    Kp = np.concatenate([umax_v, -umin_v, dmax_v + e1u, dmax_v - e1u])
+    return Gp, Kp
+
+
 def _input_constraints_f64(spec: MPCSpec):
     """Float64 twin of :func:`input_constraints` for the host build."""
     H, nu = spec.horizon, spec.plant.n_input
@@ -354,6 +426,18 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     CSu = Cs @ Su        # (Hny[+ns], M)
     CSx = Cs @ Sx        # (Hny[+ns], ns)
     CSd = Cs @ Sd        # (Hny[+ns], Hnd)
+
+    Mv = M
+    if spec.moves is not None:
+        # Move blocking: substitute U = Mb V everywhere.  The cost
+        # still charges every stage (CSu absorbs Mb; Rbar contracts to
+        # Mb' Rbar Mb), so this is the textbook blocked problem, not a
+        # coarser-grid approximation.
+        lengths = move_schedule(spec.moves, H)
+        Mb = _blocking_matrix(lengths, nu)
+        CSu = CSu @ Mb
+        Rbar = Mb.T @ Rbar @ Mb
+        Mv = len(lengths) * nu
     QCSu = Qbar @ CSu
 
     # J = (CSu U + c)'Qbar(CSu U + c) + U'Rbar U,
@@ -371,7 +455,10 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
     Mp5 = -8.0 * CSd.T @ (Qbar @ rbar)                           # (Hnd,)
     Mp6 = 4.0 * rbar @ (Qbar @ rbar)                             # ()
 
-    Gp, Kp = _input_constraints_f64(spec)
+    if spec.moves is None:
+        Gp, Kp = _input_constraints_f64(spec)
+    else:
+        Gp, Kp = _blocked_input_constraints_f64(spec, lengths)
     Kx = Kd = None
     if spec.y_min is not None or spec.y_max is not None:
         # Output constraints: y = CSu U + CSx x + CSd D, so
@@ -388,8 +475,8 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         n_out = 2 * H * ny
         Gp = np.concatenate([Gp, rows_u, -rows_u], axis=0)
         Kp = np.concatenate([Kp, np.tile(ymax, H), -np.tile(ymin, H)])
-        Zx = np.zeros((4 * M, ns))
-        Zd = np.zeros((4 * M, H * nd))
+        Zx = np.zeros((4 * Mv, ns))
+        Zd = np.zeros((4 * Mv, H * nd))
         Kx = np.concatenate([Zx, -CSx[:H * ny], CSx[:H * ny]], axis=0)
         Kd = np.concatenate([Zd, -CSd[:H * ny], CSd[:H * ny]], axis=0)
 
@@ -399,17 +486,17 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
             # rows enforce s >= 0 (with zero state dependence).
             rho = float(spec.soft_penalty)
             Qp = np.block([
-                [Qp, np.zeros((M, n_out))],
-                [np.zeros((n_out, M)), 2.0 * rho * np.eye(n_out)]])
+                [Qp, np.zeros((Mv, n_out))],
+                [np.zeros((n_out, Mv)), 2.0 * rho * np.eye(n_out)]])
             zrow = lambda A: np.concatenate(
                 [A, np.zeros((n_out, A.shape[1]))], axis=0)
             Fp1, Fp2 = zrow(Fp1), zrow(Fp2)
             Fp3 = np.concatenate([Fp3, np.zeros(n_out)])
             slack_cols = np.concatenate([
-                np.zeros((4 * M, n_out)), -np.eye(n_out)], axis=0)
+                np.zeros((4 * Mv, n_out)), -np.eye(n_out)], axis=0)
             Gp = np.concatenate([
                 np.concatenate([Gp, slack_cols], axis=1),
-                np.concatenate([np.zeros((n_out, M)), -np.eye(n_out)],
+                np.concatenate([np.zeros((n_out, Mv)), -np.eye(n_out)],
                                axis=1)], axis=0)
             Kp = np.concatenate([Kp, np.zeros(n_out)])
             Kx = np.concatenate([Kx, np.zeros((n_out, ns))], axis=0)
@@ -481,6 +568,18 @@ class MPCController:
         from pqp_for_mpc_tpu.config import MPC_CONFIG, stagewise_mpc_config
         if backend not in ("condensed", "stagewise"):
             raise ValueError(f"unknown backend {backend!r}")
+        # Move blocking shrinks the input-row groups from H to n_moves
+        # "stages"; _Hv is the effective count every per-step Kp update
+        # and multiplier shift below must use.
+        self._n_moves = None
+        if spec.moves is not None:
+            if backend == "stagewise":
+                raise NotImplementedError(
+                    "move blocking is a condensed-backend device (the "
+                    "stage-wise path is already O(H) per iteration and "
+                    "blocking would break its Riccati structure)")
+            self._n_moves = len(move_schedule(spec.moves, spec.horizon))
+        self._Hv = self._n_moves or spec.horizon
         if cfg is None:
             # MPC_CONFIG's small cold start (y0=0.01) matters: the
             # multiplicative update *grows* Y fast (ratio up to
@@ -557,25 +656,27 @@ class MPCController:
         spec = self.spec
         H, nu = spec.horizon, spec.plant.n_input
         ny = spec.plant.n_output
+        Hi = self._Hv    # move blocking: input groups have n_moves rows
         Y2 = Y if Y.ndim == 2 else Y[:, None]
 
-        def shift_block(block, w):
-            b = block.reshape(H, w, -1)
+        def shift_block(block, steps, w):
+            b = block.reshape(steps, w, -1)
             return jnp.concatenate([b[1:], b[-1:]], axis=0).reshape(
-                H * w, -1)
+                steps * w, -1)
 
         segs, off = [], 0
         for _ in range(4):
-            segs.append(shift_block(Y2[off:off + H * nu], nu))
-            off += H * nu
+            segs.append(shift_block(Y2[off:off + Hi * nu], Hi, nu))
+            off += Hi * nu
         has_out = (self.data.Kx is not None) if self.data is not None \
             else (spec.y_min is not None or spec.y_max is not None)
         if has_out:
             # 2 output blocks, plus 2 slack-positivity blocks when soft
-            # (both backends use the same 4-block layout)
+            # (both backends use the same 4-block layout); output rows
+            # keep per-stage granularity even under move blocking
             n_blocks = 4 if spec.soft_penalty is not None else 2
             for _ in range(n_blocks):
-                segs.append(shift_block(Y2[off:off + H * ny], ny))
+                segs.append(shift_block(Y2[off:off + H * ny], H, ny))
                 off += H * ny
         out = jnp.concatenate(segs, axis=0)
         return out if Y.ndim == 2 else out[:, 0]
@@ -596,7 +697,7 @@ class MPCController:
             # an additive update preserves any output-constraint rows
             # appended after them.  data.Kp already carries spec.u_prev
             # (the base), so apply only the DELTA from it.
-            M = H * nu
+            M = self._Hv * nu
             up = jnp.asarray(u_prev, jnp.float32).reshape(-1) - self._u_base
             e1u = jnp.zeros(M, jnp.float32).at[:nu].set(up)
             Kp = data.Kp.at[2 * M:3 * M].add(e1u).at[3 * M:4 * M].add(-e1u)
@@ -721,7 +822,7 @@ class MPCController:
         spec, data, cfg = self.spec, self.data, self.cfg
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
-        M = H * nu
+        M = self._Hv * nu    # = H*nu unless move blocking shrinks it
 
         A = jnp.asarray(plant.A, jnp.float32)
         Bm = jnp.asarray(plant.B, jnp.float32)

@@ -274,8 +274,9 @@ class OffsetFreeController:
         data = c.data
         H, nu = c.spec.horizon, c.spec.plant.n_input
         ny = c.spec.plant.n_output
-        M = H * nu
-        tss = jnp.tile(u_ss, H)
+        Hv = c._Hv           # move blocking shrinks the input groups
+        M = Hv * nu
+        tss = jnp.tile(u_ss, Hv)
         Kp = data.Kp.at[:M].add(-tss).at[M:2 * M].add(tss)
         e1 = jnp.zeros(M, jnp.float32).at[:nu].set(v_prev)
         Kp = Kp.at[2 * M:3 * M].add(e1).at[3 * M:4 * M].add(-e1)

@@ -804,6 +804,10 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     (successive linearization / real-time iteration), build once here
     (auto band) and refresh with :func:`relinearize` — the refresh is
     pure jnp and runs under jit."""
+    if getattr(spec, "moves", None) is not None:
+        raise NotImplementedError(
+            "move blocking is condensed-only (models/mpc.py): the "
+            "stage-wise path is already O(H) per iteration")
     has_y = spec.y_min is not None or spec.y_max is not None
     soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
     f = riccati_factor(spec)

@@ -109,6 +109,19 @@ def test_rollout_jit_cli(capsys):
     assert rec["iters_max"] < 50_000
 
 
+def test_rollout_cli_moves(capsys):
+    """--moves blocks the input sequence on the condensed backend."""
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator", "--horizon",
+               "32", "--steps", "8", "--jit", "--moves", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rc == 0
+    assert rec["moves"] == 4
+    assert rec["final_state_norm"] < 2.0
+
+
 def test_rollout_cli_output_bound(capsys):
     """--y-max adds hard output rows on either backend (stage-wise
     here, matrix-free since round 3)."""
