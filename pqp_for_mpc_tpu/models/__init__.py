@@ -32,6 +32,9 @@ from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401
 from pqp_for_mpc_tpu.models.rti import RTIController  # noqa: F401
 from pqp_for_mpc_tpu.models.estimator import (KalmanFilter,  # noqa: F401
                                               kalman_gain)
+from pqp_for_mpc_tpu.models.mhe import (  # noqa: F401
+    MovingHorizonEstimator,
+)
 from pqp_for_mpc_tpu.models.offset_free import (  # noqa: F401
     OffsetFreeController,
     augment_plant,
