@@ -35,6 +35,11 @@ from pqp_for_mpc_tpu.models.estimator import (KalmanFilter,  # noqa: F401
 from pqp_for_mpc_tpu.models.mhe import (  # noqa: F401
     MovingHorizonEstimator,
 )
+from pqp_for_mpc_tpu.models.robust import (  # noqa: F401
+    lqr_gain,
+    robust_spec,
+    tube_margins,
+)
 from pqp_for_mpc_tpu.models.offset_free import (  # noqa: F401
     OffsetFreeController,
     augment_plant,

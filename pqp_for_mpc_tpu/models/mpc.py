@@ -467,14 +467,26 @@ def _condense(spec: MPCSpec) -> CondensedMPCData:
         # Constraint bounds become state-dependent: Kp(x, D) =
         # Kp0 + Kx x + Kd D, handled by CondensedMPCData.assemble.
         big = 1e6  # one-sided bounds stay inert
-        ymax = (np.full(ny, big) if spec.y_max is None
-                else np.asarray(spec.y_max, np.float64))
-        ymin = (np.full(ny, -big) if spec.y_min is None
-                else np.asarray(spec.y_min, np.float64))
+
+        def _ybound(v, default):
+            # constant (ny,) or per-stage (H, ny) schedule (e.g. tube
+            # tightening, models/robust.py), flattened stage-major
+            if v is None:
+                return np.full(H * ny, default)
+            a = np.asarray(v, np.float64)
+            if a.ndim == 2:
+                if a.shape != (H, ny):
+                    raise ValueError(f"per-stage output bound shape "
+                                     f"{a.shape} != ({H}, {ny})")
+                return a.reshape(-1)
+            return np.tile(a, H)
+
+        ymax = _ybound(spec.y_max, big)
+        ymin = _ybound(spec.y_min, -big)
         rows_u = CSu[:H * ny]      # output rows only (skip terminal-P)
         n_out = 2 * H * ny
         Gp = np.concatenate([Gp, rows_u, -rows_u], axis=0)
-        Kp = np.concatenate([Kp, np.tile(ymax, H), -np.tile(ymin, H)])
+        Kp = np.concatenate([Kp, ymax, -ymin])
         Zx = np.zeros((4 * Mv, ns))
         Zd = np.zeros((4 * Mv, H * nd))
         Kx = np.concatenate([Zx, -CSx[:H * ny], CSx[:H * ny]], axis=0)

@@ -808,6 +808,10 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
         raise NotImplementedError(
             "move blocking is condensed-only (models/mpc.py): the "
             "stage-wise path is already O(H) per iteration")
+    for b in (spec.y_min, spec.y_max):
+        if b is not None and np.asarray(b).ndim == 2:
+            raise NotImplementedError(
+                "per-stage output-bound schedules are condensed-only")
     has_y = spec.y_min is not None or spec.y_max is not None
     soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
     f = riccati_factor(spec)
