@@ -393,8 +393,8 @@ class StagewiseDual:
     band_io: Optional[jax.Array] = None   # (2, H, 2b+1, nu, ny)
     band_oi: Optional[jax.Array] = None   # (2, H, 2b+1, ny, nu)
     band_oo: Optional[jax.Array] = None   # (H, 2b+1, ny, ny)
-    y_max: Optional[jax.Array] = None     # (ny,) +big where unbounded
-    y_min: Optional[jax.Array] = None     # (ny,)
+    y_max: Optional[jax.Array] = None     # (H, ny) +big where unbounded
+    y_min: Optional[jax.Array] = None     # (H, ny)
     u_prev: Optional[jax.Array] = None    # (nu,) stage-0 slew anchor
     n_con: int = 0
     band: int = 0
@@ -727,10 +727,16 @@ def _dual_assemble(f: StagewiseFactor, blk: dict, band: int, has_y: bool,
              _extract_band_j(jnp.abs(TZo.T), H, ny, band, nu)])
         band_oo = _extract_band_j(jnp.abs(OO), H, ny, band, ny)
         big = np.float32(1e6)   # one-sided bounds stay inert
-        y_max = (jnp.full((ny,), big, jnp.float32) if y_max is None
-                 else jnp.asarray(y_max, jnp.float32))
-        y_min = (jnp.full((ny,), -big, jnp.float32) if y_min is None
-                 else jnp.asarray(y_min, jnp.float32))
+        # normalized to per-stage (H, ny) schedules: a constant (ny,)
+        # bound broadcasts; a (H, ny) stack (e.g. robust_spec's tube
+        # tightening) passes through — the bound VALUES touch only the
+        # per-instance Kp_y rows in _forcing, never the geometry
+        y_max = (jnp.full((H, ny), big, jnp.float32) if y_max is None
+                 else jnp.broadcast_to(
+                     jnp.asarray(y_max, jnp.float32), (H, ny)))
+        y_min = (jnp.full((H, ny), -big, jnp.float32) if y_min is None
+                 else jnp.broadcast_to(
+                     jnp.asarray(y_min, jnp.float32), (H, ny)))
     else:
         y_max = y_min = None
 
@@ -797,8 +803,12 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     of Qp^-1 G'); solver memory stays O(H * band).
 
     Output bounds (``spec.y_min``/``y_max``) add two (H, ny) row groups
-    (see the class docstring); hard bounds only — ``soft_penalty``
-    (slack-softened outputs) remains condensed-only.
+    (see the class docstring); constants ``(ny,)`` or per-stage
+    ``(H, ny)`` schedules (robust tube tightening,
+    :func:`~pqp_for_mpc_tpu.models.robust.robust_spec`) both work — the
+    bound values only enter the per-instance Kp_y rows, never the
+    geometry.  Hard bounds only — ``soft_penalty`` (slack-softened
+    outputs) remains condensed-only.
 
     For receding-horizon loops that RELINEARIZE the plant every step
     (successive linearization / real-time iteration), build once here
@@ -808,10 +818,6 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
         raise NotImplementedError(
             "move blocking is condensed-only (models/mpc.py): the "
             "stage-wise path is already O(H) per iteration")
-    for b in (spec.y_min, spec.y_max):
-        if b is not None and np.asarray(b).ndim == 2:
-            raise NotImplementedError(
-                "per-stage output-bound schedules are condensed-only")
     has_y = spec.y_min is not None or spec.y_max is not None
     soft_rho = float(spec.soft_penalty or 0.0) if has_y else 0.0
     f = riccati_factor(spec)
@@ -936,8 +942,8 @@ def _forcing(dual: StagewiseDual, x0, dseq, prec, pscan: bool = False):
     kp_full = jnp.broadcast_to(_flat(dual.Kp[..., None]),
                                (4 * f.H * f.nu, B_))
     if dual.has_y:
-        kp_y = jnp.stack([dual.y_max[None, :, None] - ybar,
-                          ybar - dual.y_min[None, :, None]])
+        kp_y = jnp.stack([dual.y_max[:, :, None] - ybar,
+                          ybar - dual.y_min[:, :, None]])
         kp_full = jnp.concatenate([kp_full, _flat(kp_y)], axis=0)
     GQiF = _g_apply_all(dual, QiF, prec, pscan)
     if dual.has_soft:
