@@ -31,4 +31,5 @@ from pqp_for_mpc_tpu.config import SolverConfig  # noqa: F401
 from pqp_for_mpc_tpu.dual import dualize  # noqa: F401
 from pqp_for_mpc_tpu.solver import (solve, solve_batched,  # noqa: F401
                                     solve_mixed, SolveResult)
+from pqp_for_mpc_tpu.routing import route_solve, solve_auto  # noqa: F401
 from pqp_for_mpc_tpu.diff import solve_qp_implicit  # noqa: F401

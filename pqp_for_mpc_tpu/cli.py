@@ -102,19 +102,28 @@ def cmd_solve_file(args) -> int:
                       Gp=jnp.asarray(gp), Kp=jnp.asarray(kp))
     cfg = _build_solver_cfg(args)
     dual = dualize(primal, theta_floor=cfg.theta_floor)
-    t0 = time.perf_counter()
+    engine = getattr(args, "engine", "auto")
     if getattr(args, "mixed", False):
+        engine = "mixed"              # back-compat alias for --engine mixed
+    t0 = time.perf_counter()
+    if engine == "xla":
+        res = solve(primal, dual, cfg=cfg)
+        engine_used = "xla"
+    else:
         import jax
         from functools import partial
-        from pqp_for_mpc_tpu.solver import solve_mixed
-        r = jax.jit(partial(solve_mixed, cfg=cfg))(primal, dual)
+        from pqp_for_mpc_tpu.routing import route_solve, solve_auto
+        engine_used = (route_solve(dual.n_con, 1, False, cfg,
+                                   m_dim=primal.Gp.shape[-1])
+                       if engine == "auto" else engine)
+        r = jax.jit(partial(solve_auto, cfg=cfg, engine=engine_used))(
+            primal, dual)
         res = jax.tree.map(lambda a: a[..., 0] if a.ndim else a, r)
-    else:
-        res = solve(primal, dual, cfg=cfg)
     dt = time.perf_counter() - t0
     print(f"M={inst.M} N={inst.N} iters={int(res.iters)} "
           f"converged={bool(res.converged)} feasible={bool(res.feasible)} "
-          f"Jp={float(res.Jp):.6f} Jd={float(res.Jd):.6f} wall={dt:.3f}s")
+          f"Jp={float(res.Jp):.6f} Jd={float(res.Jd):.6f} "
+          f"engine={engine_used} wall={dt:.3f}s")
     return 0 if bool(res.converged) else 2
 
 
@@ -231,7 +240,10 @@ def cmd_rollout(args) -> int:
         y_max=None if y_bound is None
         else np.full(ny, y_bound, np.float32),
         moves=getattr(args, "moves", None))
-    backend = getattr(args, "backend", "condensed")
+    backend = getattr(args, "backend", "auto")
+    if backend == "auto":
+        from pqp_for_mpc_tpu.models import auto_backend
+        backend = auto_backend(spec)
     ctrl = MPCController(
         spec, backend=backend,
         warm_start="shift" if backend == "stagewise" else True,
@@ -381,8 +393,12 @@ def main(argv=None) -> int:
                    help="reproduce the reference harness reader's quirks "
                         "(random Kp overwrite; -1 entries flipped to 1)")
     p.add_argument("--mixed", action="store_true",
-                   help="bf16 bulk phase + f32 certification "
-                        "(solver.solve_mixed; wins for large N)")
+                   help="alias for --engine mixed (bf16 bulk phase + "
+                        "f32 certification; wins for large N)")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "xla", "fused", "mixed"),
+                   help="solve engine; auto = the measured regime map "
+                        "(routing.route_solve)")
     _add_solver_flags(p)
     p.set_defaults(fn=cmd_solve_file)
 
@@ -413,12 +429,14 @@ def main(argv=None) -> int:
     p.add_argument("--horizon", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", choices=("condensed", "stagewise"),
-                   default="condensed",
+    p.add_argument("--backend", choices=("auto", "condensed", "stagewise"),
+                   default="auto",
                    help="condensed = dense dual (the reference's "
                         "formulation); stagewise = matrix-free O(H) "
                         "path for long horizons (tolerances auto-set "
-                        "to the horizon's float32 certification floor)")
+                        "to the horizon's float32 certification floor); "
+                        "auto = pick by the measured n_con crossover "
+                        "(models.auto_backend)")
     p.add_argument("--retry-cold", action="store_true",
                    help="certify-or-recover: re-solve any step whose "
                         "warm start fails certification from the cold "

@@ -14,7 +14,9 @@ from pqp_for_mpc_tpu.models.plants import (  # noqa: F401
 from pqp_for_mpc_tpu.models.mpc import (  # noqa: F401
     MPCController,
     MPCSpec,
+    auto_backend,
     condense,
+    condensed_n_con,
     dare_terminal_weight,
     input_constraints,
     move_schedule,
@@ -29,11 +31,13 @@ from pqp_for_mpc_tpu.models.stagewise import (  # noqa: F401
     solve_stagewise,
     stagewise_dual,
 )
-from pqp_for_mpc_tpu.models.rti import RTIController  # noqa: F401
+from pqp_for_mpc_tpu.models.rti import (RTIController,  # noqa: F401
+                                        output_feedback_rollout)
 from pqp_for_mpc_tpu.models.estimator import (KalmanFilter,  # noqa: F401
                                               kalman_gain)
 from pqp_for_mpc_tpu.models.mhe import (  # noqa: F401
     MovingHorizonEstimator,
+    NonlinearMHE,
 )
 from pqp_for_mpc_tpu.models.robust import (  # noqa: F401
     lqr_gain,

@@ -40,6 +40,7 @@ from pqp_for_mpc_tpu.problem import CondensedMPCData
 from pqp_for_mpc_tpu.config import SolverConfig
 from pqp_for_mpc_tpu.dual import dual_geometry, dualize, dualize_forcing
 from pqp_for_mpc_tpu.solver import SolveResult, solve_batched
+from pqp_for_mpc_tpu.routing import solve_auto
 
 
 @dataclasses.dataclass(frozen=True)
@@ -541,6 +542,43 @@ from pqp_for_mpc_tpu.solver import merge_lanes as _merge_lanes  # noqa: F401
 # solver.retry_cold_solve, shared by solve_batched and solve_stagewise)
 
 
+#: auto_backend's condensed->stage-wise crossover, as the CONDENSED dual
+#: dimension n_con.  Measured (CONTROLLER_BENCH_r4/r5, double
+#: integrator, v5e): condensed wins at H=128 (n_con=512, 307 vs 135
+#: steps/s) and every smaller horizon; the stage-wise path is the only
+#: practical backend at H=512 (n_con=2048: the dense dual build is
+#: O(n_con^2 * H * nu) and each iteration streams the (n_con)^2 Qd).
+_AUTO_BACKEND_NCON = 1536
+
+
+def condensed_n_con(spec: MPCSpec) -> int:
+    """Constraint count of the condensed dual for ``spec`` (the N whose
+    square the dense path materializes): 4 input-row groups (box+slew,
+    the reference's layout, PQP_CPU.c:941) over the move-blocked stage
+    count, plus 2 output groups when bounds are present, plus 2
+    slack-positivity groups when softened."""
+    H, nu, ny = spec.horizon, spec.plant.n_input, spec.plant.n_output
+    Hv = len(move_schedule(spec.moves, H)) if spec.moves is not None else H
+    n = 4 * Hv * nu
+    if spec.y_min is not None or spec.y_max is not None:
+        n += 2 * H * ny
+        if spec.soft_penalty is not None:
+            n += 2 * H * ny
+    return n
+
+
+def auto_backend(spec: MPCSpec) -> str:
+    """Pick the MPC backend for ``spec``: ``"condensed"`` (dense dual,
+    the reference's formulation) while its n_con stays below the
+    measured crossover, ``"stagewise"`` (matrix-free O(H)) beyond it.
+    Condensed-only features (move blocking, slack-softened outputs)
+    force ``"condensed"`` at any horizon."""
+    if spec.moves is not None or spec.soft_penalty is not None:
+        return "condensed"
+    return ("condensed" if condensed_n_con(spec) < _AUTO_BACKEND_NCON
+            else "stagewise")
+
+
 class MPCController:
     """Receding-horizon controller around the batched PQP solver.
 
@@ -578,6 +616,8 @@ class MPCController:
         # floor (stagewise_mpc_config); pass an explicit cfg to
         # override.
         from pqp_for_mpc_tpu.config import MPC_CONFIG, stagewise_mpc_config
+        if backend == "auto":
+            backend = auto_backend(spec)
         if backend not in ("condensed", "stagewise"):
             raise ValueError(f"unknown backend {backend!r}")
         # Move blocking shrinks the input-row groups from H to n_moves
@@ -729,8 +769,11 @@ class MPCController:
         # certify-or-recover rides inside the solve dispatch (one compiled
         # retry graph, no per-step host sync on `converged` — the eager
         # path used to pay a ~26 ms tunnel RTT per step here)
-        res = solve_batched(primal, dual, Y0=Y0, cfg=self.cfg,
-                            retry_cold=self.retry_cold and Y0 is not None)
+        # solve_auto: warm/small-batch steps stay on the measured XLA
+        # while-loop path; batched scenario fan-outs (B >= 128) ride the
+        # whole-solve kernel / mixed-precision engines (routing.py)
+        res = solve_auto(primal, dual, Y0=Y0, cfg=self.cfg,
+                         retry_cold=self.retry_cold and Y0 is not None)
         if self.warm_start:
             self._Y = res.Y
         u0 = res.U[:nu]
@@ -872,9 +915,9 @@ class MPCController:
             # runtime.  (The previous lax.cond form duplicated the whole
             # solve graph per scan step and crashed the TPU worker's
             # compile at H=512, ROADMAP #10.)
-            res = solve_batched(primal, dual,
-                                Y0=jnp.maximum(Y, floor), cfg=cfg,
-                                retry_cold=retry)
+            res = solve_auto(primal, dual,
+                             Y0=jnp.maximum(Y, floor), cfg=cfg,
+                             retry_cold=retry)
             u0 = res.U[:nu, 0]
             xn = A @ x + Bm @ u0
             if win is not None:

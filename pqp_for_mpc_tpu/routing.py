@@ -1,0 +1,184 @@
+"""Automatic solve-engine routing: the measured regime map in code.
+
+The framework has seven solve entry points — :func:`solve_batched`
+(XLA while loop, optionally riding the update kernels),
+:func:`ops.solve_kernel.solve_fused` (VMEM-resident whole-solve
+kernel), :func:`ops.tiled_solve_kernel.solve_fused_tiled` (streamed
+whole-solve), :func:`ops.distinct_kernel.solve_fused_distinct`,
+:func:`ops.distinct_tiled_kernel.solve_fused_distinct_tiled`,
+:func:`solver.solve_mixed` (bf16 bulk + f32 certify), and
+:func:`parallel.sharded.solve_row_sharded` (tensor parallel) — whose
+measured crossovers previously lived as prose in BENCHMARKS.md.  The
+reference's answer to engine choice was five hand-picked ``main()``
+variants the user compiles one of (``/root/reference/README.md:8-17``);
+the TPU-first answer is self-routing: :func:`route_solve` encodes the
+regime map, :func:`solve_auto` dispatches through it.
+
+The map (every edge cites the artifact that measured it):
+
+================  =========  ==============  ===========================
+geometry          regime     engine          measured by
+================  =========  ==============  ===========================
+any               CPU/other  xla             Mosaic kernels are TPU-only
+shared (2-D Qd)   warm or    xla             CONTROLLER_BENCH_r2..r5 —
+                  B < 128                    the receding-horizon regime
+                                             (B=1, warm shift) was
+                                             measured through
+                                             solve_batched; lanes pad to
+                                             128 in the kernels.  Also
+                                             keeps the reference-mode
+                                             float program exactly XLA's
+                                             (golden 313 parity).
+shared, resident  N < 512    fused           CONFORMANCE_r3 (1.1-2.8x vs
+                                             XLA), MIXED_RESIDENT_r4
+                                             (N=256: mixed 0.99x vs
+                                             kernel — the kernel holds);
+                                             bench.py headline (N=28,
+                                             B=4.2M, 8.4M solves/s)
+shared, resident  N >= 512,  mixed           MIXED_RESIDENT_r4: 1.52x
+                  comp mode                  (N=512) to 2.46x (N=1024)
+                                             over the resident kernel,
+                                             3.49x over f32 XLA at
+                                             N=1536
+shared, resident  N >= 512,  fused           reference-mode wins were
+                  ref mode                   measured for the kernel
+                                             only (CONFORMANCE_r2/r3);
+                                             solve_mixed has no
+                                             reference-mode row yet
+shared, streamed  N > ~1800  mixed           MIXED_BENCH_r4: 3.7x/3.3x
+                  (!fits_                    vs f32 XLA at N=4096, 2.5-
+                  vmem)                      2.8x vs the streamed f32
+                                             whole-solve kernel; the
+                                             bf16 tiled update kernel is
+                                             forced on (mixed_kernel_s <
+                                             mixed_s in every row)
+distinct (3-D)    resident   fused_distinct  per-instance geometry DMA'd
+                  (distinct_                 once, whole solve in-kernel
+                  fits_vmem)                 (ops/distinct_kernel.py,
+                                             DISTINCT_STREAM_BENCH_r3
+                                             methodology at small N)
+distinct (3-D)    streamed   mixed           MIXED_BENCH_r4 distinct
+                                             row: 1.63x vs f32 einsum at
+                                             N=2048 (bf16 streamed
+                                             distinct kernel: r5)
+================  =========  ==============  ===========================
+
+The reference has no routing to compare against — its five variants are
+the same pipeline at five optimization levels and the user picks one at
+compile time (``/root/reference/README.md:8-17``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pqp_for_mpc_tpu.config import SolverConfig
+from pqp_for_mpc_tpu.problem import PrimalQP
+from pqp_for_mpc_tpu.dual import DualQP
+from pqp_for_mpc_tpu.solver import (SolveResult, _as2d, retry_cold_solve,
+                                    solve_batched, solve_mixed)
+
+#: lane quantum — kernels pad the batch to a multiple of this, so a
+#: sub-lane batch wastes the padded lanes' compute
+_LANE = 128
+
+#: engines route_solve can return
+ENGINES = ("xla", "fused", "mixed", "fused_distinct")
+
+
+def route_solve(n_con: int, batch: int, distinct: bool,
+                cfg: SolverConfig, m_dim: Optional[int] = None,
+                platform: Optional[str] = None,
+                warm: bool = False) -> str:
+    """Pick the measured-best solve engine for one problem shape.
+
+    Pure decision function (no device work): ``n_con`` = dual dimension
+    N, ``batch`` = instance count B, ``distinct`` = per-instance Qd
+    (3-D), ``m_dim`` = primal dimension M (needed for the distinct
+    kernel's VMEM plan), ``platform`` = jax backend name (``None`` =
+    ask jax), ``warm`` = a warm start Y0 is provided (the receding-
+    horizon regime).  Returns one of :data:`ENGINES`.
+    """
+    if platform is None:
+        platform = jax.default_backend()
+    if platform != "tpu":
+        # Mosaic kernels compile on TPU only (interpret mode is a test
+        # vehicle, ~100x slower); solve_mixed's bf16 phase pays off only
+        # where HBM bandwidth is the binding resource
+        return "xla"
+    if distinct:
+        from pqp_for_mpc_tpu.ops.distinct_kernel import distinct_fits_vmem
+        if m_dim is not None and distinct_fits_vmem(n_con, m_dim):
+            return "fused_distinct"
+        return "mixed"
+    from pqp_for_mpc_tpu.ops.kernels import fits_vmem
+    if not fits_vmem(n_con):
+        return "mixed"
+    if warm or batch < _LANE:
+        # receding-horizon / small-batch regime: measured through the
+        # XLA while loop (CONTROLLER_BENCH), and the kernels would pad
+        # the batch to 128 lanes anyway
+        return "xla"
+    if n_con >= 512 and cfg.gap_from_complementarity:
+        return "mixed"
+    return "fused"
+
+
+def solve_auto(primal: PrimalQP, dual: DualQP,
+               Y0: Optional[jax.Array] = None,
+               cfg: SolverConfig = SolverConfig(),
+               retry_cold: bool = False,
+               engine: Optional[str] = None) -> SolveResult:
+    """Solve through the measured-best engine for this problem's regime
+    (see :func:`route_solve`; pass ``engine`` to override).  Accepts
+    everything :func:`solve_batched` does — shared or distinct
+    geometry, warm starts, certify-or-recover ``retry_cold`` — and
+    routes to :func:`solve_batched`, the whole-solve kernel,
+    :func:`solve_mixed`, or the distinct kernel.
+
+    Safe under ``jit``: the routing decision is made at trace time from
+    static shapes and the static ``cfg``.
+    """
+    distinct = dual.Qd.ndim == 3
+    N = dual.n_con
+    if distinct:
+        B = dual.Qd.shape[0]
+    else:
+        B = _as2d(dual.Fd).shape[1]
+    if Y0 is not None and _as2d(Y0).shape[1] > B:
+        B = _as2d(Y0).shape[1]
+    M = primal.Gp.shape[-1]
+    if engine is None:
+        engine = route_solve(N, B, distinct, cfg, m_dim=M,
+                             warm=Y0 is not None)
+    if engine not in ENGINES:
+        raise ValueError(f"unknown engine {engine!r}; one of {ENGINES}")
+
+    if engine == "xla":
+        return solve_batched(primal, dual, Y0=Y0, cfg=cfg,
+                             retry_cold=retry_cold and Y0 is not None)
+    if engine == "mixed":
+        if not distinct and jax.default_backend() == "tpu":
+            # the bf16 streamed update kernel beats the XLA mixed phase
+            # in every MIXED_BENCH_r4 row (it streams ONE 2-byte matrix
+            # per update); solve_mixed gates it on residency itself
+            cfg = dataclasses.replace(cfg, use_pallas=True)
+        fn = lambda y0: solve_mixed(primal, dual, Y0=y0, cfg=cfg)
+    elif engine == "fused":
+        from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+        fn = lambda y0: solve_fused(primal, dual, Y0=y0, cfg=cfg)
+    else:
+        from pqp_for_mpc_tpu.ops.distinct_kernel import solve_fused_distinct
+        fn = lambda y0: solve_fused_distinct(primal, dual, Y0=y0, cfg=cfg)
+
+    if retry_cold and Y0 is not None:
+        Y_warm = jnp.maximum(_as2d(Y0), 0.0)
+        if Y_warm.shape[1] == 1 and B > 1:
+            Y_warm = jnp.broadcast_to(Y_warm, (N, B))
+        Y_cold = jnp.full((N, B), cfg.y0, jnp.float32)
+        return retry_cold_solve(fn, Y_warm, Y_cold)
+    return fn(Y0)
