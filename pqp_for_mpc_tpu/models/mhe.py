@@ -79,7 +79,10 @@ class MovingHorizonEstimator:
                  P0=None, cfg=None, warm_start: bool = True,
                  warm_start_floor: float = 1e-6):
         if np.asarray(plant.A).ndim == 3:
-            raise NotImplementedError("MHE needs an LTI plant")
+            raise NotImplementedError(
+                "this condensed MHE needs an LTI plant; for LTV or "
+                "nonlinear dynamics use NonlinearMHE (stage-wise window "
+                "geometry rebuilt per window under jit)")
         ns, ny = plant.n_state, plant.n_output
         self.plant = plant
         self.window = int(window)
@@ -284,6 +287,256 @@ class MovingHorizonEstimator:
         @jax.jit
         def run(x_bar0, u_wins, y_wins):
             init = (x_bar0, jnp.full((n_con, 1), cfg.y0, jnp.float32))
+            _, traj = lax.scan(body, init, (u_wins, y_wins))
+            return traj
+
+        return run
+
+
+class NonlinearMHE:
+    """Moving-horizon estimation for NONLINEAR (or LTV) dynamics by
+    successive linearization — the estimation mirror of
+    :class:`~pqp_for_mpc_tpu.models.rti.RTIController`.
+
+    Dynamics ``x_{k+1} = f(x_k, u_k) + w_k`` with additive process
+    noise and a linear measurement ``y = C x``.  Each window solve
+    linearizes ``f`` along the nominal trajectory implied by the
+    current noise estimate, maps the window onto the framework's
+    stage-wise MPC machinery under the usual MHE identification
+    {noise w -> input (B = I), known input + affine remainder
+    ``f(xbar, u) - A xbar`` -> disturbance channel (E = I),
+    measurement y_k -> per-stage reference r_k}, and solves the
+    constrained QP matrix-free.  The geometry refresh is
+    :func:`~pqp_for_mpc_tpu.models.stagewise.relinearize` — pure jnp —
+    so a whole window step (Jacobians -> Riccati -> split -> PQP solve
+    -> nonlinear re-roll) compiles into ONE XLA graph, and
+    :meth:`run` slides the window over a record in one ``lax.scan``.
+
+    Where the steady-state Kalman filter (models/estimator.py) freezes
+    ONE linearization, this estimator re-linearizes along the estimated
+    trajectory every window AND honors noise bounds — on a swinging
+    pendulum measured by angle only, the origin-linearized KF diverges
+    from the true velocity while this tracks it (pinned in
+    tests/test_mhe.py).  The reference has no estimator of any kind —
+    its state arrives by file (PQP_CPU.c:757-930).
+
+    Arrival handling mirrors :class:`MovingHorizonEstimator`: stage 0's
+    noise rides free of the bounds, weighted by ``P0^-1`` (one-step
+    prediction covariance of the INITIAL linearization by default), and
+    the recursion advances the arrival state by each window's first
+    smoothed state.
+
+    ``f_disc``: traceable ``(x (ns,), u (nu,)) -> x_next (ns,)``.
+    ``sqp_iters``: linearize+solve passes per window (1 = classic RTI
+    pacing; 2 helps when the trajectory bends fast within a window).
+    """
+
+    def __init__(self, f_disc, C, window: int, Qw, Rv,
+                 w_min=None, w_max=None, P0=None, cfg=None,
+                 sqp_iters: int = 1, band: Optional[int] = None,
+                 x_lin=None, u_lin=None,
+                 warm_start: bool = True, warm_start_floor: float = 1e-6):
+        from pqp_for_mpc_tpu.config import MPC_CONFIG
+        from pqp_for_mpc_tpu.models.plants import LTVPlant
+        from pqp_for_mpc_tpu.models.stagewise import stagewise_dual
+
+        C = np.asarray(C, np.float64)
+        ny, ns = C.shape
+        N = int(window)
+        if N < 2:
+            raise ValueError("window must be >= 2 (stage 0 carries the "
+                             "arrival correction)")
+        self.f_disc = f_disc
+        self.window = N
+        self.sqp_iters = int(sqp_iters)
+        self.warm_start = warm_start
+        self.warm_start_floor = warm_start_floor
+
+        # initial linearization point (defaults to the origin)
+        x0 = jnp.zeros(ns, jnp.float32) if x_lin is None else \
+            jnp.asarray(x_lin, jnp.float32)
+        if u_lin is None:
+            raise ValueError("pass u_lin (a representative known-input "
+                             "vector, e.g. np.zeros(nu)) — the input "
+                             "dimension cannot be inferred from f_disc")
+        u0 = jnp.asarray(u_lin, jnp.float32)
+        A0 = np.asarray(jax.jacobian(f_disc, argnums=0)(x0, u0),
+                        np.float64)
+
+        Qw = np.asarray(Qw, np.float64)
+        Rv = np.asarray(Rv, np.float64)
+        big = 1e4
+        wmax = (np.full(ns, big) if w_max is None
+                else np.asarray(w_max, np.float64))
+        wmin = (np.full(ns, -big) if w_min is None
+                else np.asarray(w_min, np.float64))
+        if P0 is None:
+            P = Qw.copy()
+            for _ in range(10_000):
+                S = C @ P @ C.T + Rv
+                K = np.linalg.solve(S, C @ P).T
+                Pn = A0 @ (P - K @ C @ P) @ A0.T + Qw
+                Pn = 0.5 * (Pn + Pn.T)
+                if np.abs(Pn - P).max() <= 1e-12 * max(1.0,
+                                                       np.abs(P).max()):
+                    P = Pn
+                    break
+                P = Pn
+            P0 = P
+        P0 = np.asarray(P0, np.float64)
+
+        R_stack = np.concatenate(
+            [np.linalg.inv(P0)[None],
+             np.broadcast_to(np.linalg.inv(Qw), (N - 1, ns, ns))])
+        wmax_stack = np.concatenate(
+            [np.full((1, ns), big), np.broadcast_to(wmax, (N - 1, ns))])
+        wmin_stack = np.concatenate(
+            [np.full((1, ns), -big), np.broadcast_to(wmin, (N - 1, ns))])
+        Qy64 = np.linalg.inv(Rv)
+        # same normalization (and rationale) as MovingHorizonEstimator
+        scale = 1.0 / max(np.abs(Qy64).max(), np.abs(R_stack).max())
+
+        f32 = lambda a: np.asarray(a, np.float32)
+        eye = np.broadcast_to(np.eye(ns), (N, ns, ns))
+        eplant = LTVPlant(A=f32(np.broadcast_to(A0, (N, ns, ns))),
+                          B=f32(eye), E=f32(eye),
+                          C=f32(np.broadcast_to(C, (N, ny, ns))),
+                          name="nonlinear_mhe")
+        spec = MPCSpec(
+            plant=eplant, horizon=N,
+            Qy=scale * Qy64, R=scale * R_stack,
+            r=np.zeros(ny, np.float32),
+            u_min=wmin_stack.astype(np.float32),
+            u_max=wmax_stack.astype(np.float32),
+            du_max=np.full(ns, 4 * big, np.float32))
+        self.cfg = MPC_CONFIG if cfg is None else cfg
+        self.spec = spec
+        self._sd0 = stagewise_dual(spec, theta_floor=self.cfg.theta_floor,
+                                   band=band)
+        self._B_eye = jnp.asarray(eye, jnp.float32)
+        self._C = jnp.asarray(C, jnp.float32)
+        self._ns, self._ny = ns, ny
+        self._Y = None
+        self._W = None
+        self._runs = {}
+
+    @property
+    def band(self) -> int:
+        return self._sd0.band
+
+    def reset(self):
+        self._Y = None
+        self._W = None
+
+    # -- one window (pure jnp) --------------------------------------------
+
+    def _window_core(self, x_bar, u_win, y_win, W, Y):
+        """One window solve with ``sqp_iters`` relinearization passes.
+        All inputs jnp: ``x_bar (ns,)``, ``u_win (N, nu)``,
+        ``y_win (N, ny)``, ``W (N, ns)`` noise warm start, ``Y
+        (n_con, 1)`` dual warm start.  Returns ``(xs, W, Y, res)``."""
+        from pqp_for_mpc_tpu.models.stagewise import (relinearize,
+                                                      solve_stagewise)
+        f_disc = self.f_disc
+        N, ns = self.window, self._ns
+        res = None
+
+        def jac_x(x, u):
+            return jax.jacobian(f_disc, argnums=0)(x, u)
+
+        for _ in range(self.sqp_iters):
+            # nominal trajectory ENTERING each stage under the current
+            # noise estimate: xbar_0 = x_bar
+            def prop(x, inp):
+                u, w = inp
+                return f_disc(x, u) + w, x
+            _, xbars = lax.scan(prop, x_bar, (u_win, W))   # (N, ns)
+            A = jax.vmap(jac_x)(xbars, u_win)              # (N, ns, ns)
+            # known forcing: f(xbar, u) - A xbar rides the disturbance
+            # channel (E = I) — includes B u and the affine remainder
+            d = (jax.vmap(f_disc)(xbars, u_win)
+                 - jnp.einsum("kij,kj->ki", A, xbars))     # (N, ns)
+            sd = relinearize(self._sd0, A, self._B_eye, r=y_win)
+            Y0 = (jnp.maximum(Y, self.warm_start_floor)
+                  if self.warm_start else None)
+            res = solve_stagewise(sd, x_bar[:, None],
+                                  dseq=d[:, :, None], Y0=Y0,
+                                  cfg=self.cfg)
+            W = res.U[:, 0].reshape(N, ns)
+            Y = res.Y
+
+        # smoothed states from the NONLINEAR roll with the solved noise
+        def roll(x, inp):
+            u, w = inp
+            xn = f_disc(x, u) + w
+            return xn, xn
+        _, xs = lax.scan(roll, x_bar, (u_win, W))          # x_1..x_N
+        return xs, W, Y, res
+
+    def step(self, x_bar, u_win, y_win):
+        """Solve one window eagerly (host API).  Returns
+        ``(x_hat, xs, SolveResult)``; carries noise/dual warm starts."""
+        N, ns = self.window, self._ns
+        x_bar = jnp.asarray(x_bar, jnp.float32).reshape(-1)
+        u_win = jnp.asarray(u_win, jnp.float32).reshape(N, -1)
+        y_win = jnp.asarray(y_win, jnp.float32).reshape(N, -1)
+        W = (jnp.zeros((N, ns), jnp.float32) if self._W is None
+             else self._W)
+        Y = (jnp.full((self._sd0.n_con, 1), self.cfg.y0, jnp.float32)
+             if self._Y is None else self._Y)
+        xs, W, Y, res = self._window_core(x_bar, u_win, y_win, W, Y)
+        if self.warm_start:
+            # shift the noise plan one slide forward for the next window
+            self._W = jnp.concatenate([W[1:], W[-1:]])
+            self._Y = Y
+        return xs[-1], xs, res
+
+    # -- compiled sliding-window record run ---------------------------------
+
+    def run(self, x_bar0, u_seq, y_seq):
+        """Estimate over a whole record in ONE compiled scan (same
+        contract as :meth:`MovingHorizonEstimator.run`)."""
+        N = self.window
+        u_seq = jnp.asarray(u_seq, jnp.float32)
+        y_seq = jnp.asarray(y_seq, jnp.float32)
+        T = y_seq.shape[0]
+        if u_seq.shape[0] != T or T < N:
+            raise ValueError(f"need matching records with T >= {N}, got "
+                             f"u {u_seq.shape[0]} / y {T}")
+        steps = T - N + 1
+        run = self._runs.get(steps)
+        if run is None:
+            run = self._build_run(steps)
+            self._runs[steps] = run
+        idx = jnp.arange(steps)[:, None] + jnp.arange(N)[None, :]
+        xh, iters, conv = run(jnp.asarray(x_bar0, jnp.float32),
+                              u_seq[idx], y_seq[idx])
+        return dict(x_hat=np.asarray(xh), iters=np.asarray(iters),
+                    converged=np.asarray(conv))
+
+    def _build_run(self, steps: int):
+        N, ns = self.window, self._ns
+        n_con = self._sd0.n_con
+        cfg = self.cfg
+        warm = self.warm_start
+
+        def body(carry, wins):
+            x_bar, W, Y = carry
+            u_win, y_win = wins
+            xs, Wn, Yn, res = self._window_core(x_bar, u_win, y_win,
+                                                W, Y)
+            if warm:
+                W_next = jnp.concatenate([Wn[1:], Wn[-1:]])
+                Y_next = Yn
+            else:
+                W_next, Y_next = W, Y
+            return (xs[0], W_next, Y_next), (xs[-1], res.iters[0],
+                                             res.converged[0])
+
+        @jax.jit
+        def run(x_bar0, u_wins, y_wins):
+            init = (x_bar0, jnp.zeros((N, ns), jnp.float32),
+                    jnp.full((n_con, 1), cfg.y0, jnp.float32))
             _, traj = lax.scan(body, init, (u_wins, y_wins))
             return traj
 

@@ -191,3 +191,94 @@ class RTIController:
         xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
         return dict(x=np.asarray(xs), u=np.asarray(us),
                     iters=np.asarray(iters), converged=np.asarray(conv))
+
+
+def output_feedback_rollout(rti: RTIController, mhe, x_true0, steps: int,
+                            w_seq=None, v_seq=None, u_warmup=None):
+    """Fully-compiled output-feedback NONLINEAR MPC: moving-horizon
+    estimation -> relinearize -> PQP solve -> apply, as one ``lax.scan``.
+
+    The capstone composition of the nonlinear surface: the controller
+    (:class:`RTIController`) and the estimator
+    (:class:`~pqp_for_mpc_tpu.models.mhe.NonlinearMHE`) share the same
+    discrete dynamics ``f_disc`` and the same relinearization machinery
+    (:func:`~pqp_for_mpc_tpu.models.stagewise.relinearize`), so the whole
+    closed loop — window estimate from the last ``N`` measurements, RTI
+    control step from the estimate, true nonlinear propagation under
+    process noise, noisy measurement — compiles into one XLA graph.
+    The reference's pipeline reads its one state vector from a file
+    (PQP_CPU.c:757-930); it has neither an estimator nor a loop.
+
+    ``w_seq (steps + N, ns)`` / ``v_seq (steps + N, ny)``: process /
+    measurement noise realizations (zeros when ``None``).  The first
+    ``N`` steps run open loop (``u_warmup``, default zeros) to fill the
+    estimation window; control starts at step ``N``.
+
+    Returns dict of stacked trajectories over the ``steps`` controlled
+    steps: ``x`` (true), ``x_hat`` (estimate the controller acted on),
+    ``u``, ``iters_mhe``, ``iters_rti``, ``conv_mhe``, ``conv_rti``.
+    """
+    f_disc = rti.f_disc
+    if mhe.f_disc is not f_disc:
+        raise ValueError("controller and estimator must share f_disc "
+                         "(same discrete dynamics)")
+    N, ns, ny = mhe.window, mhe._ns, mhe._ny
+    H, nu = rti._H, rti._nu
+    C = mhe._C
+    x_true0 = jnp.asarray(x_true0, jnp.float32)
+    w_seq = (jnp.zeros((steps + N, ns), jnp.float32) if w_seq is None
+             else jnp.asarray(w_seq, jnp.float32))
+    v_seq = (jnp.zeros((steps + N, ny), jnp.float32) if v_seq is None
+             else jnp.asarray(v_seq, jnp.float32))
+    u_warm = (jnp.zeros((N, nu), jnp.float32) if u_warmup is None
+              else jnp.asarray(u_warmup, jnp.float32).reshape(N, nu))
+    rti_step = rti._make_step()
+
+    @jax.jit
+    def run(x0):
+        # ---- warmup: fill the measurement window open loop
+        def warm(x, inp):
+            u, w, v = inp
+            xn = f_disc(x, u) + w
+            return xn, (xn, C @ xn + v)
+        x_after, (xw, yw) = lax.scan(
+            warm, x0, (u_warm, w_seq[:N], v_seq[:N]))
+        # arrival prior = zero state (deliberately wrong: the arrival
+        # correction must absorb it); callers wanting a better prior
+        # pass longer records through NonlinearMHE.run directly.
+        carry0 = (
+            x_after,                                    # true state
+            xw[0] * 0.0,                                # x_bar arrival
+            u_warm, yw,                                 # window buffers
+            jnp.zeros((N, ns), jnp.float32),            # W warm start
+            jnp.full((mhe._sd0.n_con, 1), mhe.cfg.y0, jnp.float32),
+            jnp.zeros((H, nu), jnp.float32),            # RTI plan
+            jnp.zeros(nu, jnp.float32),                 # u_prev
+            jnp.zeros((rti._sd0.n_con, 1), jnp.float32))
+
+        def body(carry, inp):
+            (x, x_bar, u_buf, y_buf, W, Ym, useq, u_prev, Yr) = carry
+            w, v = inp
+            xs, Wn, Ymn, res_m = mhe._window_core(x_bar, u_buf, y_buf,
+                                                  W, Ym)
+            x_hat = xs[-1]
+            u0, useq, Yr, res_r = rti_step(x_hat, useq, u_prev, Yr)
+            xn = f_disc(x, u0) + w
+            yn = C @ xn + v
+            u_buf2 = jnp.concatenate([u_buf[1:], u0[None]])
+            y_buf2 = jnp.concatenate([y_buf[1:], yn[None]])
+            W_next = jnp.concatenate([Wn[1:], Wn[-1:]])
+            carry = (xn, xs[0], u_buf2, y_buf2, W_next, Ymn, useq, u0,
+                     Yr)
+            return carry, (xn, x_hat, u0, res_m.iters[0],
+                           res_r.iters[0], res_m.converged[0],
+                           res_r.converged[0])
+
+        _, out = lax.scan(body, carry0,
+                          (w_seq[N:N + steps], v_seq[N:N + steps]))
+        return out
+
+    xs, xh, us, im, ir, cm, cr = run(x_true0)
+    return dict(x=np.asarray(xs), x_hat=np.asarray(xh), u=np.asarray(us),
+                iters_mhe=np.asarray(im), iters_rti=np.asarray(ir),
+                conv_mhe=np.asarray(cm), conv_rti=np.asarray(cr))

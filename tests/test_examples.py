@@ -94,3 +94,9 @@ def test_nonlinear_mpc(capsys):
     _run("nonlinear_mpc.py", ["30"])
     out = capsys.readouterr().out
     assert "theta: start +2.500" in out
+
+
+def test_output_feedback_nonlinear_mpc(capsys):
+    _run("output_feedback_nonlinear_mpc.py", ["40"])
+    out = capsys.readouterr().out
+    assert "stabilized upright from angle-only measurements: OK" in out
