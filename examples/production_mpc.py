@@ -1,0 +1,93 @@
+"""The full production MPC stack in one compiled scan.
+
+Composes every production feature of the framework on a disturbed
+double integrator and shows the guarantees holding TOGETHER:
+
+* **robust tube tightening** (`robust_spec`): per-stage bound schedules
+  that keep the ORIGINAL output bound under any admissible process
+  disturbance |w| <= w_box;
+* **offset-free MPC** (`OffsetFreeController`, input-kind model): a
+  constant unmeasured actuator disturbance is estimated by the
+  augmented Kalman filter and rejected without steady-state offset;
+* **disturbance preview**: a known forecast (think weather for the
+  reference's thermal plant, whose ambient temperature is exactly the
+  `D` input it loads from file, PQP_CPU.c:757-930) enters the solver
+  as per-step windows and is compensated ahead of time;
+* **certify-or-recover** (`retry_cold`): every step's solve carries
+  the four-part PQP certificate.
+
+The whole loop — estimate, steady-state targets, tightened deviation
+QP, actuation, simulation, measurement — runs as ONE ``lax.scan``
+dispatch (`OffsetFreeController.rollout_jit`).  The reference solves
+one file-loaded QP per process invocation (PQP_CPU.c:935-1040).
+
+Usage:  python examples/production_mpc.py [STEPS]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from pqp_for_mpc_tpu.models import (MPCSpec, OffsetFreeController,
+                                    robust_spec)
+from pqp_for_mpc_tpu.models.plants import LinearPlant
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    dt = 0.1
+    plant = LinearPlant(A=np.array([[1, dt], [0, 1]], np.float32),
+                        B=np.array([[0.5 * dt * dt], [dt]], np.float32),
+                        E=np.array([[0.005], [0.1]], np.float32),
+                        C=np.array([[1.0, 0.0]], np.float32),
+                        name="di_e")
+    H, r, y_bound = 20, 0.92, 1.0
+    spec = MPCSpec(plant=plant, horizon=H,
+                   Qy=np.eye(1, dtype=np.float32),
+                   R=0.05 * np.eye(1, dtype=np.float32),
+                   r=np.array([r], np.float32),
+                   u_min=np.array([-3.0], np.float32),
+                   u_max=np.array([3.0], np.float32),
+                   du_max=np.array([3.0], np.float32),
+                   y_max=np.array([y_bound], np.float32))
+
+    # worst-case-style admissible process noise: box corners switching
+    # in blocks, too fast for the estimator to absorb
+    w_box = np.array([0.003, 0.012])
+    t = np.arange(steps)
+    w_seq = (np.where((t // 8) % 2 == 0, 1.0, -1.0)[:, None]
+             * w_box[None, :]).astype(np.float32)
+    # known forecast through the E channel + constant unmeasured input
+    # disturbance through the model channel
+    d_fc = (0.5 * np.sin(0.15 * np.arange(steps + H)))[:, None] \
+        .astype(np.float32)
+    d_true = np.array([0.4], np.float32)
+
+    # design box inflated 1.3x: the tube re-anchors from the ESTIMATE,
+    # so estimation error consumes part of the margin
+    tight = robust_spec(spec, 1.3 * w_box)
+    ctrl = OffsetFreeController(tight, kind="input", retry_cold=True)
+
+    t0 = time.perf_counter()
+    out = ctrl.rollout_jit(np.zeros(2, np.float32), steps, d_true,
+                           w_seq=w_seq, d_forecast=d_fc)
+    wall = time.perf_counter() - t0
+    y = out["x"][:, 0]
+
+    ok = (out["converged"].all() and y.max() <= y_bound + 1e-4
+          and abs(y[-42:].mean() - r) < 0.02)
+    print(f"{steps} production steps in {wall:.1f}s (one compiled scan, "
+          f"incl. compile)")
+    print(f"certified steps: {out['converged'].mean():.0%}  "
+          f"iters/step mean {out['iters'].mean():.0f}")
+    print(f"max y = {y.max():.4f} (original bound {y_bound}; never "
+          f"violated under worst-case |w| <= w_box)")
+    print(f"offset-free: mean y over last period = {y[-42:].mean():.4f} "
+          f"(r = {r}); d_hat settled at "
+          f"{out['d_hat'][-16:].mean():.3f} (true {float(d_true[0])})")
+    print("production stack guarantees:", "OK" if ok else "FAILED")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,10 +83,17 @@ class KalmanFilter:
                              else kalman_gain(plant, Qw, Rv), jnp.float32)
         self._A = jnp.asarray(plant.A, jnp.float32)
         self._B = jnp.asarray(plant.B, jnp.float32)
+        self._E = jnp.asarray(plant.E, jnp.float32)
         self._C = jnp.asarray(plant.C, jnp.float32)
 
     def step(self, x_hat: jax.Array, u: jax.Array,
-             y_next: jax.Array) -> jax.Array:
-        """One predict/correct update (see module docstring)."""
+             y_next: jax.Array,
+             d: Optional[jax.Array] = None) -> jax.Array:
+        """One predict/correct update (see module docstring).  ``d``:
+        optional KNOWN disturbance through the plant's E channel
+        (disturbance-preview loops feed the previewed value here so the
+        prediction does not misattribute it to estimation error)."""
         x_pred = self._A @ x_hat + self._B @ u
+        if d is not None:
+            x_pred = x_pred + self._E @ d
         return x_pred + self.L @ (y_next - self._C @ x_pred)

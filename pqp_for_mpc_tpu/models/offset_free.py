@@ -250,11 +250,14 @@ class OffsetFreeController:
         t = self._Gd @ d_hat + self._Gr @ self._r
         return t[:ns], t[ns:]
 
-    def _dev_solve(self, z, u_ss, v_prev, y_ss, Y0):
+    def _dev_solve(self, z, u_ss, v_prev, y_ss, Y0, D=None):
         """Deviation-coordinates PQP solve: reference-zero problem with
         box rows shifted by ``u_ss``, slew anchor at ``v_prev`` and (if
         present) output rows shifted by ``y_ss``.  All shifts are
-        additive bound updates — the dual geometry is reused."""
+        additive bound updates — the dual geometry is reused.  ``D``:
+        optional flat ``(H * nd,)`` KNOWN-disturbance preview window
+        through the plant's E channel (shift-invariant, so it enters
+        the deviation problem unchanged)."""
         c = self._ctrl
         retry = c.retry_cold and Y0 is not None
         if c.backend == "stagewise":
@@ -269,7 +272,11 @@ class OffsetFreeController:
                 repl["y_min"] = sd0.y_min - y_ss
             sd = dataclasses.replace(sd0, **repl)
             z2 = z if z.ndim == 2 else z[:, None]
-            return solve_stagewise(sd, z2, Y0=Y0, cfg=c.cfg,
+            dseq = None
+            if D is not None:
+                dseq = D.reshape(c.spec.horizon,
+                                 c.spec.plant.n_dist)[..., None]
+            return solve_stagewise(sd, z2, dseq=dseq, Y0=Y0, cfg=c.cfg,
                                    retry_cold=retry)
         data = c.data
         H, nu = c.spec.horizon, c.spec.plant.n_input
@@ -289,7 +296,7 @@ class OffsetFreeController:
                    .at[b + H * ny:b + 2 * H * ny].add(ty)
         d2 = dataclasses.replace(data, Kp=Kp)
         nd = c.spec.plant.n_dist
-        D0 = jnp.zeros(H * nd, jnp.float32)
+        D0 = jnp.zeros(H * nd, jnp.float32) if D is None else D
         primal = d2.assemble(x=z, D=D0, Qp=c.Qp)
         dual = dualize_forcing(c._geom, primal.Fp, primal.Mp, primal.Kp,
                                precision=c.cfg.precision)
@@ -330,20 +337,37 @@ class OffsetFreeController:
     # -- compiled closed loop ---------------------------------------------
 
     def rollout_jit(self, x0, steps: int, d_true,
-                    x_hat0=None, d_hat0=None, meas_noise=None):
+                    x_hat0=None, d_hat0=None, meas_noise=None,
+                    w_seq=None, d_forecast=None):
         """Fully-jitted output-feedback closed loop: one ``lax.scan``
         over {targets -> deviation solve -> actuate -> simulate truth
         with the constant disturbance ``d_true`` through the model
         channels -> measure (+ ``meas_noise[t]`` if given) -> estimate}.
 
+        Production composition hooks (tests/test_composition.py — the
+        full stack {robust tightening + offset-free + estimator +
+        preview} rides this one scan):
+
+        * ``w_seq (steps, ns)`` — additive process disturbance on the
+          TRUE state update (the robust tube's ``|w| <= w_box``; pair
+          with a :func:`~pqp_for_mpc_tpu.models.robust.robust_spec`-
+          tightened spec to keep the ORIGINAL bounds under it);
+        * ``d_forecast (steps + H, nd)`` — KNOWN-disturbance preview
+          through the plant's E channel, windowed per step exactly like
+          :meth:`MPCController.rollout_jit`; the truth propagates with
+          ``E d_forecast[t]``.
+
         Returns stacked trajectories: x (truth), y (measurements),
         u, d_hat, iters, converged.
         """
-        run = self._rollouts.get(steps)
-        if run is None:
-            run = self._build_rollout(steps)
-            self._rollouts[steps] = run
         plant = self._ctrl.spec.plant
+        H = self._ctrl.spec.horizon
+        key = (steps, w_seq is not None, d_forecast is not None)
+        run = self._rollouts.get(key)
+        if run is None:
+            run = self._build_rollout(steps, with_w=w_seq is not None,
+                                      with_preview=d_forecast is not None)
+            self._rollouts[key] = run
         x0 = jnp.asarray(x0, jnp.float32)
         xh = x0 if x_hat0 is None else jnp.asarray(x_hat0, jnp.float32)
         dh = (jnp.zeros(self.n_dist_model, jnp.float32) if d_hat0 is None
@@ -353,17 +377,31 @@ class OffsetFreeController:
         nz = (jnp.zeros((steps, plant.n_output), jnp.float32)
               if meas_noise is None
               else jnp.asarray(meas_noise, jnp.float32))
-        xs, ys, us, dhs, iters, conv = run(x0, xa0, dt, nz)
+        args = [x0, xa0, dt, nz]
+        if w_seq is not None:
+            args.append(jnp.asarray(w_seq, jnp.float32).reshape(
+                steps, plant.n_state))
+        if d_forecast is not None:
+            df = jnp.asarray(d_forecast, jnp.float32).reshape(
+                -1, plant.n_dist)
+            if df.shape[0] < steps + H:
+                raise ValueError(f"d_forecast needs {steps + H} rows "
+                                 f"(steps + horizon), got {df.shape[0]}")
+            idx = jnp.arange(steps)[:, None] + jnp.arange(H)[None, :]
+            args.append(df[idx])
+        xs, ys, us, dhs, iters, conv = run(*args)
         return dict(x=np.asarray(xs), y=np.asarray(ys), u=np.asarray(us),
                     d_hat=np.asarray(dhs), iters=np.asarray(iters),
                     converged=np.asarray(conv))
 
-    def _build_rollout(self, steps: int):
+    def _build_rollout(self, steps: int, with_w: bool = False,
+                       with_preview: bool = False):
         c = self._ctrl
         plant = c.spec.plant
         ns, nu = plant.n_state, plant.n_input
         A = jnp.asarray(plant.A, jnp.float32)
         B = jnp.asarray(plant.B, jnp.float32)
+        Em = jnp.asarray(plant.E, jnp.float32)
         C, Bd, Cd = self._C, self._Bd, self._Cd
         kf = self.estimator
         floor = c.warm_start_floor
@@ -371,18 +409,26 @@ class OffsetFreeController:
         N = c.data.n_con if c.backend == "condensed" else c._sd.n_con
         Y_cold = jnp.full((N, 1), c.cfg.y0, jnp.float32)
 
-        def step(carry, noise_t, d_true):
+        def step(carry, noise_t, d_true, w_t, win):
             x, xa, u_prev, Y = carry
             x_hat, d_hat = xa[:ns], xa[ns:]
             x_ss, u_ss = self.targets(d_hat)
             y_ss = C @ x_ss + Cd @ d_hat
+            D = None if win is None else win.reshape(-1)
             res = self._dev_solve(x_hat - x_ss, u_ss, u_prev - u_ss,
-                                  y_ss, jnp.maximum(Y, floor))
+                                  y_ss, jnp.maximum(Y, floor), D=D)
             v0 = res.U[:nu]
             u0 = (v0[:, 0] if v0.ndim == 2 else v0) + u_ss
             xn = A @ x + B @ u0 + Bd @ d_true
+            if w_t is not None:
+                xn = xn + w_t
+            if win is not None:
+                xn = xn + Em @ win[0]
             yn = C @ xn + Cd @ d_true + noise_t
-            xan = kf.step(xa, u0, yn)
+            # the estimator sees the previewed disturbance as a known
+            # input through the AUGMENTED plant's E channel
+            xan = kf.step(xa, u0, yn,
+                          d=None if win is None else win[0])
             if warm == "shift":
                 Yn = c._shift_multipliers(res.Y)
             elif warm:
@@ -393,10 +439,22 @@ class OffsetFreeController:
                     (xn, yn, u0, xan[ns:], res.iters[0], res.converged[0]))
 
         @jax.jit
-        def run(x0, xa0, d_true, noises):
+        def run(x0, xa0, d_true, noises, *extra):
+            ws = extra[0] if with_w else None
+            wins = extra[-1] if with_preview else None
             init = (x0, xa0, jnp.zeros(nu, jnp.float32), Y_cold)
-            _, traj = lax.scan(lambda cy, nz: step(cy, nz, d_true),
-                               init, noises)
+
+            def body(cy, scanned):
+                i = 1
+                nz = scanned[0]
+                w_t = scanned[i] if with_w else None
+                i += int(with_w)
+                win = scanned[i] if with_preview else None
+                return step(cy, nz, d_true, w_t, win)
+
+            scanned = (noises,) + tuple(
+                a for a in (ws, wins) if a is not None)
+            _, traj = lax.scan(body, init, scanned)
             return traj
 
         return run

@@ -100,3 +100,8 @@ def test_output_feedback_nonlinear_mpc(capsys):
     _run("output_feedback_nonlinear_mpc.py", ["40"])
     out = capsys.readouterr().out
     assert "stabilized upright from angle-only measurements: OK" in out
+
+
+def test_production_mpc(capsys):
+    _run("production_mpc.py", ["80"])
+    assert "production stack guarantees: OK" in capsys.readouterr().out
