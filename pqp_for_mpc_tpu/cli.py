@@ -222,6 +222,10 @@ _ROLLOUT_PLANTS = ("double_integrator", "mass_spring_damper", "thermal_rc",
                    "dc_motor", "aircraft_pitch", "quadruple_tank")
 
 
+def _csv_floats(s):
+    return np.asarray([float(v) for v in s.split(",")], np.float32)
+
+
 def cmd_rollout(args) -> int:
     from pqp_for_mpc_tpu.models import ZOO, MPCSpec, MPCController
 
@@ -240,34 +244,154 @@ def cmd_rollout(args) -> int:
         y_max=None if y_bound is None
         else np.full(ny, y_bound, np.float32),
         moves=getattr(args, "moves", None))
+    robust_w = getattr(args, "robust_w", None)
+    if robust_w is not None:
+        # tube tightening: per-stage bound schedules from the box
+        # supports of |w_i| <= robust_w_i (models/robust.py)
+        from pqp_for_mpc_tpu.models import robust_spec
+        w_box = _csv_floats(robust_w)
+        if w_box.shape != (plant.n_state,):
+            print(f"--robust-w needs {plant.n_state} comma-separated "
+                  f"state-noise half-widths, got {w_box.shape[0]}",
+                  file=sys.stderr)
+            return 1
+        spec = robust_spec(spec, w_box)
     backend = getattr(args, "backend", "auto")
     if backend == "auto":
         from pqp_for_mpc_tpu.models import auto_backend
         backend = auto_backend(spec)
-    ctrl = MPCController(
-        spec, backend=backend,
-        warm_start="shift" if backend == "stagewise" else True,
-        retry_cold=bool(getattr(args, "retry_cold", False)))
     rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(-1, 1, plant.n_state).astype(np.float32)
     t0 = time.perf_counter()
-    if args.jit:
-        ctrl.rollout_jit(x0, steps=args.steps)   # absorb compile
+    offset_free = getattr(args, "offset_free", None)
+    if offset_free is not None:
+        # output-feedback offset-free loop: constant unmeasured
+        # disturbance through the model channels, estimated + rejected
+        from pqp_for_mpc_tpu.models import OffsetFreeController
+        nd = nu if offset_free == "input" else ny
+        d_true = (np.full(nd, 0.2, np.float32)
+                  if getattr(args, "d_true", None) is None
+                  else _csv_floats(args.d_true))
+        ctrl = OffsetFreeController(
+            spec, kind=offset_free, backend=backend,
+            retry_cold=bool(getattr(args, "retry_cold", False)))
+        ctrl.rollout_jit(x0, steps=args.steps, d_true=d_true)
         t0 = time.perf_counter()
-        out = ctrl.rollout_jit(x0, steps=args.steps)
+        out = ctrl.rollout_jit(x0, steps=args.steps, d_true=d_true)
+        out["converged"] = np.asarray(out["converged"])
+        extra = {"offset_free": offset_free,
+                 "d_true": d_true.tolist(),
+                 "d_hat_final": np.asarray(out["d_hat"])[-1].tolist(),
+                 "y_final": np.asarray(out["y"])[-1].tolist()}
     else:
-        out = ctrl.rollout(x0, steps=args.steps)
+        ctrl = MPCController(
+            spec, backend=backend,
+            warm_start="shift" if backend == "stagewise" else True,
+            retry_cold=bool(getattr(args, "retry_cold", False)))
+        if args.jit:
+            ctrl.rollout_jit(x0, steps=args.steps)   # absorb compile
+            t0 = time.perf_counter()
+            out = ctrl.rollout_jit(x0, steps=args.steps)
+        else:
+            out = ctrl.rollout(x0, steps=args.steps)
+        extra = {}
     dt = time.perf_counter() - t0
     print(json.dumps({
         "plant": args.plant, "horizon": args.horizon, "steps": args.steps,
         "backend": backend, "moves": getattr(args, "moves", None),
+        "robust_w": robust_w,
         "final_state_norm": round(float(np.linalg.norm(out["x"][-1])), 4),
         "iters_mean": round(float(out["iters"].mean()), 1),
         "iters_max": int(out["iters"].max()),
         "wall_s": round(dt, 3),
         "steps_per_s": round(args.steps / dt, 1),
+        **extra,
     }))
     return 0
+
+
+def cmd_estimate(args) -> int:
+    """State estimation over an input/measurement record: steady-state
+    Kalman filter (``--kind kf``) or constrained moving-horizon
+    estimation (``--kind mhe``, window ``--window``, optional noise
+    bounds) on a model-zoo plant.  The record comes from ``--data
+    FILE.npz`` (arrays ``U (T, nu)``, ``Y (T, ny)``, optional ``X``
+    truth and ``x0``) or is synthesized with ``--simulate T`` (then the
+    truth is known and an RMSE is reported).  ``-o OUT.npz`` writes the
+    estimates.  The reference has no estimator at all — its state
+    arrives by file (PQP_CPU.c:757-930)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.models import (ZOO, KalmanFilter,
+                                        MovingHorizonEstimator)
+
+    plant = ZOO[args.plant]()
+    ns, nu, ny = plant.n_state, plant.n_input, plant.n_output
+    qw = np.diag(np.full(ns, args.qw)).astype(np.float64)
+    rv = np.diag(np.full(ny, args.rv)).astype(np.float64)
+
+    X = None
+    if args.data is not None:
+        rec = np.load(args.data)
+        U = np.asarray(rec["U"], np.float32).reshape(-1, nu)
+        Y = np.asarray(rec["Y"], np.float32).reshape(-1, ny)
+        X = np.asarray(rec["X"], np.float32) if "X" in rec else None
+        x0 = (np.asarray(rec["x0"], np.float32) if "x0" in rec
+              else np.zeros(ns, np.float32))
+    else:
+        T = args.simulate
+        rng = np.random.default_rng(args.seed)
+        A, B, C = (np.asarray(plant.A), np.asarray(plant.B),
+                   np.asarray(plant.C))
+        x = rng.uniform(-0.5, 0.5, ns).astype(np.float32)
+        x0 = x.copy()
+        U = (0.4 * np.sin(0.15 * np.arange(T))[:, None]
+             * np.ones(nu)).astype(np.float32)
+        X, Y = [], []
+        for t in range(T):
+            w = rng.normal(0, np.sqrt(args.qw), ns)
+            if args.one_sided:
+                w = np.abs(w)      # the bound a Gaussian filter can't see
+            x = (A @ x + B @ U[t] + w).astype(np.float32)
+            X.append(x.copy())
+            Y.append((C @ x + rng.normal(0, np.sqrt(args.rv),
+                                         ny)).astype(np.float32))
+        X, Y = np.stack(X), np.stack(Y)
+
+    T = Y.shape[0]
+    if args.kind == "kf":
+        kf = KalmanFilter(plant, qw, rv)
+        xh = jnp.asarray(x0)
+        est = []
+        for t in range(T):
+            xh = kf.step(xh, jnp.asarray(U[t]), jnp.asarray(Y[t]))
+            est.append(np.asarray(xh))
+        est = np.stack(est)
+        iters_mean, conv = 0.0, 1.0
+        est_for_rmse, truth = est, X
+    else:
+        kwargs = {}
+        if args.one_sided:
+            kwargs = dict(w_min=np.zeros(ns, np.float32))
+        mhe = MovingHorizonEstimator(plant, args.window, qw, rv, **kwargs)
+        out = mhe.run(x0, U, Y)
+        est = out["x_hat"]
+        iters_mean = float(out["iters"].mean())
+        conv = float(out["converged"].mean())
+        est_for_rmse = est
+        truth = None if X is None else X[args.window - 1:]
+
+    result = {"plant": args.plant, "kind": args.kind, "T": int(T),
+              "estimates": int(est.shape[0]),
+              "iters_mean": round(iters_mean, 1),
+              "converged_frac": round(conv, 4)}
+    if truth is not None:
+        rmse = np.sqrt(((est_for_rmse - truth) ** 2).mean(axis=0))
+        result["rmse"] = [round(float(v), 6) for v in rmse]
+    if args.out:
+        np.savez(args.out, x_hat=est)
+        result["out"] = args.out
+    print(json.dumps(result))
+    return 0 if conv == 1.0 else 2
 
 
 def _json_sanitize(obj):
@@ -292,6 +416,11 @@ def cmd_serve(args) -> int:
     Request forms:
       {"example_dir": PATH, "x": [...]?, "batch_x": [[...], ...]?}
       {"generator_file": PATH}
+      {"spec": {"plant": NAME, "horizon": H, "r"?, "u_min"?, "u_max"?,
+                "du_max"?, "y_min"?, "y_max"?},
+       "x": [...], "u_prev": [...]?}     — one MPC step; reply carries
+                                           "u0" (controller caches per
+                                           spec for the daemon's life)
       {"cmd": "quit"}
     Reply: the solve stats dict plus the solution —
       {"batch": n, "converged": n_ok, "feasible": n_feas,
@@ -345,6 +474,36 @@ def cmd_serve(args) -> int:
                        precision=cfg.precision)
         return solve_batched(primal, dual, cfg=cfg)
 
+    def solve_spec(req):
+        """Spec-based MPC step: build (and cache) a controller from a
+        JSON spec, solve one step from the given state."""
+        from pqp_for_mpc_tpu.models import ZOO, MPCSpec, MPCController
+        s = req["spec"]
+        key = ("spec", json.dumps(s, sort_keys=True))
+        ctrl = cache.get(key)
+        if ctrl is None:
+            plant = ZOO[s["plant"]]()
+            ny, nu = plant.n_output, plant.n_input
+            arr = lambda k, default: (
+                np.asarray(s[k], np.float32) if k in s else default)
+            spec = MPCSpec(
+                plant=plant, horizon=int(s["horizon"]),
+                Qy=arr("Qy", np.eye(ny, dtype=np.float32)),
+                R=arr("R", 0.05 * np.eye(nu, dtype=np.float32)),
+                r=arr("r", np.zeros(ny, np.float32)),
+                u_min=arr("u_min", -np.ones(nu, np.float32)),
+                u_max=arr("u_max", np.ones(nu, np.float32)),
+                du_max=arr("du_max", np.full(nu, 0.5, np.float32)),
+                y_min=arr("y_min", None), y_max=arr("y_max", None))
+            ctrl = cache[key] = MPCController(spec, backend="auto",
+                                              warm_start=False)
+        x = np.asarray(req["x"], np.float32)
+        u_prev = (np.asarray(req["u_prev"], np.float32)
+                  if "u_prev" in req else None)
+        u0, res = ctrl.step(jnp.asarray(x), u_prev=u_prev)
+        u0 = np.asarray(u0)
+        return (u0[:, 0] if u0.ndim == 2 else u0), res
+
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -353,14 +512,19 @@ def cmd_serve(args) -> int:
             req = json.loads(line)
             if req.get("cmd") == "quit":
                 break
+            u0 = None
             if "example_dir" in req:
                 res = solve_example(req)
             elif "generator_file" in req:
                 res = solve_generator(req)
+            elif "spec" in req:
+                u0, res = solve_spec(req)
             else:
-                raise ValueError("request needs example_dir or "
-                                 "generator_file")
+                raise ValueError("request needs example_dir, "
+                                 "generator_file, or spec")
             out = res.stats()
+            if u0 is not None:
+                out["u0"] = u0.tolist()
             out["U"] = np.asarray(res.U).T.tolist()
             out["diverged"] = int(np.asarray(res.diverged).sum())
             # strict JSON has no NaN/Infinity tokens; a diverged solve
@@ -453,7 +617,47 @@ def main(argv=None) -> int:
                         "input constant over MOVES blocks spread over "
                         "the horizon — the dual shrinks from 4*H*nu to "
                         "4*MOVES*nu rows")
+    p.add_argument("--robust-w", default=None, metavar="W1,W2,...",
+                   help="robust tube tightening for additive state "
+                        "disturbances |w_i| <= W_i (one half-width per "
+                        "state): bounds become per-stage schedules that "
+                        "keep the ORIGINAL bounds under any admissible "
+                        "disturbance (models/robust.py)")
+    p.add_argument("--offset-free", choices=("input", "output"),
+                   default=None,
+                   help="run the output-feedback offset-free loop "
+                        "(augmented-KF estimation + steady-state "
+                        "targets + deviation MPC) against a constant "
+                        "unmeasured disturbance --d-true")
+    p.add_argument("--d-true", default=None, metavar="D1,...",
+                   help="true unmeasured disturbance for --offset-free "
+                        "(default 0.2 per channel)")
     p.set_defaults(fn=cmd_rollout)
+
+    p = sub.add_parser("estimate", help="state estimation (KF / "
+                                        "constrained MHE) over a record")
+    p.add_argument("--plant", default="double_integrator",
+                   choices=_ROLLOUT_PLANTS)
+    p.add_argument("--kind", choices=("kf", "mhe"), default="mhe")
+    p.add_argument("--window", type=int, default=10,
+                   help="MHE window length")
+    p.add_argument("--data", default=None,
+                   help="npz record with U (T, nu), Y (T, ny) "
+                        "[, X truth, x0]; omit to --simulate")
+    p.add_argument("--simulate", type=int, default=120, metavar="T",
+                   help="synthesize a T-step noisy record (truth known "
+                        "-> RMSE reported)")
+    p.add_argument("--one-sided", action="store_true",
+                   help="one-sided process noise (w >= 0): the regime "
+                        "where the bounded MHE beats any Kalman filter")
+    p.add_argument("--qw", type=float, default=1e-4,
+                   help="process-noise variance (per state)")
+    p.add_argument("--rv", type=float, default=1e-4,
+                   help="measurement-noise variance (per output)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--out", default=None,
+                   help="write x_hat to this npz")
+    p.set_defaults(fn=cmd_estimate)
 
     p = sub.add_parser("serve", help="JSON-lines solver daemon on stdio")
     _add_solver_flags(p)

@@ -134,3 +134,104 @@ def test_rollout_cli_output_bound(capsys):
     rec = json.loads(out)
     assert rc == 0
     assert rec["backend"] == "stagewise"
+
+
+def test_rollout_robust_w(capsys):
+    """--robust-w tightens bounds into per-stage schedules; the loop
+    still runs certified."""
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator",
+               "--horizon", "12", "--steps", "8",
+               "--y-max", "1.5", "--robust-w", "0.002,0.01", "--jit"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["robust_w"] == "0.002,0.01"
+    assert out["iters_max"] < 50000
+
+
+def test_rollout_robust_w_bad_width(capsys):
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator",
+               "--horizon", "8", "--steps", "4", "--robust-w", "0.01"])
+    assert rc == 1
+    assert "half-widths" in capsys.readouterr().err
+
+
+def test_rollout_offset_free(capsys):
+    """--offset-free runs the output-feedback loop and reports the
+    settled disturbance estimate."""
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["rollout", "--plant", "double_integrator",
+               "--horizon", "12", "--steps", "60",
+               "--offset-free", "input", "--d-true", "0.15"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["offset_free"] == "input"
+    np.testing.assert_allclose(out["d_hat_final"], [0.15], atol=0.02)
+    # offset-free: output settled at the (zero) reference
+    np.testing.assert_allclose(out["y_final"], [0.0], atol=0.02)
+
+
+def test_estimate_mhe_one_sided(capsys):
+    """estimate --kind mhe beats --kind kf on one-sided noise (the
+    bounded-QP regime), both reported via RMSE on the synthesized
+    record."""
+    from pqp_for_mpc_tpu.cli import main
+
+    rc = main(["estimate", "--kind", "mhe", "--one-sided",
+               "--simulate", "80", "--window", "8"])
+    mhe = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert mhe["converged_frac"] == 1.0
+    rc = main(["estimate", "--kind", "kf", "--one-sided",
+               "--simulate", "80"])
+    kf = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert sum(mhe["rmse"]) < sum(kf["rmse"])
+
+
+def test_estimate_npz_roundtrip(tmp_path, capsys):
+    from pqp_for_mpc_tpu.cli import main
+
+    rec = str(tmp_path / "rec.npz")
+    est = str(tmp_path / "est.npz")
+    rng = np.random.default_rng(0)
+    T = 40
+    np.savez(rec, U=0.1 * rng.standard_normal((T, 1)).astype(np.float32),
+             Y=0.1 * rng.standard_normal((T, 1)).astype(np.float32),
+             x0=np.zeros(2, np.float32))
+    rc = main(["estimate", "--kind", "mhe", "--window", "6",
+               "--data", rec, "-o", est])
+    out = json.loads(capsys.readouterr().out)
+    assert rc in (0, 2)
+    xh = np.load(est)["x_hat"]
+    assert xh.shape == (T - 6 + 1, 2)
+    assert "rmse" not in out     # no truth in the record
+
+
+def test_serve_spec_request(capsys, monkeypatch):
+    """serve: spec-based MPC step requests return u0."""
+    import io
+    from pqp_for_mpc_tpu.cli import main
+
+    req = {"spec": {"plant": "double_integrator", "horizon": 8,
+                    "r": [0.5]}, "x": [0.0, 0.0]}
+    lines = json.dumps(req) + "\n" + json.dumps(
+        {**req, "u_prev": [0.1]}) + "\n" + '{"cmd": "quit"}\n'
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    rc = main(["serve", "--y0", "0.01", "--accel-every", "4",
+               "--check-every", "8", "--no-strict",
+               "--eaj", "1e-4", "--erj", "1e-4",
+               "--erc", "1e-4", "--eac", "1e-4"])
+    assert rc == 0
+    replies = [json.loads(l) for l in
+               capsys.readouterr().out.strip().splitlines()]
+    assert len(replies) == 2
+    for r in replies:
+        assert "u0" in r and len(r["u0"]) == 1
+        assert r["converged"] == 1
+    # same spec key -> cached controller; u_prev moves the slew rows
+    assert replies[0]["u0"] != replies[1]["u0"]
