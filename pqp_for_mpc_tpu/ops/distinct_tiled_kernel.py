@@ -411,3 +411,152 @@ def solve_fused_distinct_tiled(primal, dual, Y0=None, cfg=None,
     conv = (cert | ~fail) & ~div
     return SolveResult(U=U, Y=Y, iters=iters, converged=conv,
                        feasible=feas, Jp=Jp, Jd=Jd, diverged=div)
+
+
+# ---------------------------------------------------------------------------
+# Streamed UPDATE kernel (distinct geometry): solve_mixed's bulk engine
+# ---------------------------------------------------------------------------
+
+def _upd_kernel(den_eps, precision, bn, nblocks, sym_theta,
+                qdhat_ref, theta_ref, fdn_ref, fdp_ref, y0_ref,
+                out_ref, y_scr, num_scr, den_scr):
+    t = pl.program_id(1)
+    i = pl.program_id(2)
+    f32 = jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
+    mdt = qdhat_ref.dtype
+    dot = lambda a, b: jnp.dot(a.astype(mdt), b,
+                               preferred_element_type=f32,
+                               precision=None if mdt == jnp.bfloat16
+                               else prec)
+
+    @pl.when(jnp.logical_and(t == 0, i == 0))
+    def _init():
+        y_scr[:] = y0_ref[0]
+
+    @pl.when(i == 0)
+    def _zero():
+        num_scr[:] = jnp.zeros_like(num_scr)
+        den_scr[:] = jnp.zeros_like(den_scr)
+
+    q = qdhat_ref[0]                       # (bn, n_pad) streamed slab
+    yblk = y_scr[:, pl.ds(i * bn, bn)]     # (8, bn) row form
+    num_scr[:] = num_scr[:] + dot(yblk, jnp.maximum(-q, 0))
+    den_scr[:] = den_scr[:] + dot(yblk, jnp.maximum(q, 0))
+
+    @pl.when(i == nblocks - 1)
+    def _apply():
+        y = y_scr[:]
+        th = theta_ref[0]
+        tY = th * y
+        num = num_scr[:] + tY + fdn_ref[0]
+        if sym_theta:
+            # bf16 mode: θ NOT folded into the streamed matrix — the
+            # same f32 θ term rides both sides so the split identity of
+            # the ONE rounded matrix holds exactly (solve_mixed's
+            # consistency rule, ops/tiled_kernel.py)
+            den = den_scr[:] + tY + fdp_ref[0]
+        else:
+            # f32 mode: θ folded into the clamped diagonal on the den
+            # side (relu(Qd_hat) carries it), mirrored out of num
+            den = den_scr[:] + fdp_ref[0]
+        if den_eps:
+            den = jnp.maximum(den, den_eps)
+        ynew = (num / den) * y
+        y_scr[:] = ynew
+        out_ref[0] = ynew
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_iters", "interpret", "den_eps",
+                                    "precision", "dtype"))
+def fused_pqp_iterations_distinct_tiled(Qd, theta, Fdn, Fdp, Y,
+                                        num_iters: int,
+                                        interpret: bool = False,
+                                        den_eps: float = 0.0,
+                                        precision: str = "highest",
+                                        dtype: str = "float32"):
+    """``num_iters`` PQP updates for B DISTINCT instances with each
+    instance's Hessian streamed from HBM slab-by-slab — the distinct
+    twin of :func:`pqp_for_mpc_tpu.ops.tiled_kernel.fused_pqp_iterations_tiled`
+    and the bulk-phase engine :func:`pqp_for_mpc_tpu.solver.solve_mixed`
+    rides for 3-D ``Qd`` (``cfg.use_pallas``).
+
+    ``Qd (B, N, N)``, ``theta (B, N)``, panels ``(N, B)``.  The iterate
+    lives in VMEM as an ``(8, N)`` row-replicated panel per instance
+    (the distinct kernels' layout: every matvec is ``(8, bn) @
+    (bn, n_pad)`` against the streamed slab, legal because the splits of
+    the symmetric Qd are symmetric).
+
+    ``dtype="bfloat16"`` streams each instance's matrix in bfloat16 —
+    HALF the f32 stream's bytes and a QUARTER of the einsum path's two
+    materialized bf16 splits — under solve_mixed's consistency rules:
+    the 0-clamped Qd is rounded ONCE, θ stays OUT of the matrix (the
+    same f32 term on both update sides) and is raised to dominate the
+    ROUNDED negative rowsums per instance.
+    """
+    B, N, _ = Qd.shape
+    bn = BLOCK_N
+    n_pad = _round_up(_round_up(max(N, _LANE), _LANE), bn)
+    dn = n_pad - N
+    f32 = jnp.float32
+    bf16_mode = dtype == "bfloat16"
+
+    diag = jnp.diagonal(Qd, axis1=1, axis2=2)
+    r = jnp.arange(N)
+    if bf16_mode:
+        qdhat = Qd.at[:, r, r].set(jnp.maximum(diag, 0.0)) \
+            .astype(jnp.bfloat16)
+        theta = jnp.maximum(
+            theta,
+            jnp.sum(jnp.maximum(-qdhat.astype(f32), 0.0), axis=2))
+        qdhat = jnp.pad(qdhat, ((0, 0), (0, dn), (0, dn)))
+        # padded coords: Qd row 0, θ = 1, forcing 0, Y = 1 — exact fixed
+        # point under the symmetric-θ update (num = den = θ·y)
+    else:
+        qdhat = Qd.at[:, r, r].set(jnp.maximum(diag, 0.0)
+                                   + theta)
+        qdhat = jnp.pad(qdhat, ((0, 0), (0, dn), (0, dn)))
+        if dn:
+            rp = N + jnp.arange(dn)
+            qdhat = qdhat.at[:, rp, rp].set(1.0)
+    theta_r = jnp.broadcast_to(
+        jnp.pad(theta.astype(f32), ((0, 0), (0, dn)),
+                constant_values=1.0)[:, None, :], (B, _SUBLANE, n_pad))
+
+    def row8(v, fill):
+        v2 = jnp.pad(v.T, ((0, 0), (0, dn)), constant_values=fill)
+        return jnp.broadcast_to(v2[:, None, :], (B, _SUBLANE, n_pad))
+
+    Fdn_r = row8(jnp.broadcast_to(Fdn, (N, B)), 0.0)
+    Fdp_r = row8(jnp.broadcast_to(Fdp, (N, B)), 0.0)
+    Y_r = row8(Y, 1.0)
+
+    nblocks = n_pad // bn
+    grid = (B, num_iters, nblocks)
+    slab = pl.BlockSpec((1, bn, n_pad), lambda b, t, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, _SUBLANE, n_pad), lambda b, t, i: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_upd_kernel, den_eps, precision, bn, nblocks,
+                          bf16_mode),
+        grid=grid,
+        in_specs=[slab, row, row, row, row],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((B, _SUBLANE, n_pad), f32),
+        scratch_shapes=[pltpu.VMEM((_SUBLANE, n_pad), f32),
+                        pltpu.VMEM((_SUBLANE, n_pad), f32),
+                        pltpu.VMEM((_SUBLANE, n_pad), f32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n_pad * n_pad * num_iters,
+            bytes_accessed=(B * n_pad * n_pad * num_iters
+                            * (2 if bf16_mode else 4)),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qdhat, theta_r, Fdn_r, Fdp_r, Y_r)
+    return out[:, 0, :N].T

@@ -504,22 +504,29 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
             B = Y0.shape[1]
 
     bf16 = jnp.bfloat16
-    use_kernel = cfg.use_pallas and not distinct
+    use_kernel = cfg.use_pallas
     if use_kernel:
         from pqp_for_mpc_tpu.ops import kernels as _kernels
-        from pqp_for_mpc_tpu.ops import tiled_kernel as _tiled
-        # the bf16 streamed kernel is the bulk engine only beyond VMEM
-        # residency (below it the resident f32 kernels already win)
+        # the bf16 streamed kernels are the bulk engine only beyond
+        # VMEM residency (below it the resident f32 kernels already win)
         use_kernel = not _kernels.fits_vmem(N)
+    if use_kernel and distinct:
+        from pqp_for_mpc_tpu.ops import distinct_tiled_kernel as _dtiled
+    elif use_kernel:
+        from pqp_for_mpc_tpu.ops import tiled_kernel as _tiled
     if use_kernel:
         # clamp float-noise-negative diagonal entries (Qd is PSD by
         # construction) BEFORE the one rounding, so this construction
-        # is bit-identical to ops.tiled_kernel's bf16 mode — phase 1
-        # must be ONE consistent perturbed problem whichever engine
-        # runs a given step (kernel updates vs XLA accel/floor terms)
+        # is bit-identical to the kernels' bf16 mode — phase 1 must be
+        # ONE consistent perturbed problem whichever engine runs a
+        # given step (kernel updates vs XLA accel/floor terms)
         ar = jnp.arange(N)
-        dg = jnp.maximum(jnp.diagonal(dual.Qd), 0.0)
-        Qd_cl = dual.Qd.at[ar, ar].set(dg)
+        if distinct:
+            dg = jnp.maximum(jnp.diagonal(dual.Qd, axis1=1, axis2=2), 0.0)
+            Qd_cl = dual.Qd.at[:, ar, ar].set(dg)
+        else:
+            dg = jnp.maximum(jnp.diagonal(dual.Qd), 0.0)
+            Qd_cl = dual.Qd.at[ar, ar].set(dg)
     else:
         Qd_cl = dual.Qd
     Qd_bf = Qd_cl.astype(bf16)
@@ -571,10 +578,16 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
                 # one launch streams the bf16 matrix ONCE per update —
                 # half this function's own XLA phase (two bf16 splits)
                 # and a quarter of the f32 split path
-                Yn = _tiled.fused_pqp_iterations_tiled(
-                    Qd_cl, theta[:, 0], Fdn, Fdp, Yc, num_iters=n,
-                    den_eps=cfg.den_eps, precision=cfg.precision,
-                    dtype="bfloat16")
+                if distinct:
+                    Yn = _dtiled.fused_pqp_iterations_distinct_tiled(
+                        Qd_cl, theta.T, Fdn, Fdp, Yc, num_iters=n,
+                        den_eps=cfg.den_eps, precision=cfg.precision,
+                        dtype="bfloat16")
+                else:
+                    Yn = _tiled.fused_pqp_iterations_tiled(
+                        Qd_cl, theta[:, 0], Fdn, Fdp, Yc, num_iters=n,
+                        den_eps=cfg.den_eps, precision=cfg.precision,
+                        dtype="bfloat16")
                 return jnp.where(frozen[None, :], Yc, Yn)
 
             def body(_, Yi):

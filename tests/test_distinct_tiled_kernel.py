@@ -127,3 +127,90 @@ def test_streamed_distinct_rejects_mismatched_accel():
             primal, dual,
             cfg=SolverConfig(check_every=8, accel_every=4),
             interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Streamed distinct UPDATE kernel (solve_mixed's 3-D bulk engine, round 5)
+# ---------------------------------------------------------------------------
+
+def _xla_distinct_updates(Qd, theta, Fdn, Fdp, Y, n, dtype):
+    """The reference semantics: solve_mixed's einsum update with the
+    kernel's consistency rules (clamped diag; bf16: round once, theta
+    raised to the rounded negative rowsums, symmetric f32 theta)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, N, _ = Qd.shape
+    r = jnp.arange(N)
+    dg = jnp.maximum(jnp.diagonal(Qd, axis1=1, axis2=2), 0.0)
+    Qc = Qd.at[:, r, r].set(dg)
+    if dtype == "bfloat16":
+        Qb = Qc.astype(jnp.bfloat16)
+        th = jnp.maximum(theta, jnp.sum(
+            jnp.maximum(-Qb.astype(jnp.float32), 0.0), axis=2))
+        Qn, Qp_ = jnp.maximum(-Qb, 0), jnp.maximum(Qb, 0)
+        dot = lambda Q, y: jnp.einsum(
+            "bij,jb->ib", Q, y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        th = theta
+        Qn, Qp_ = jnp.maximum(-Qc, 0), jnp.maximum(Qc, 0)
+        dot = lambda Q, y: jnp.einsum(
+            "bij,jb->ib", Q, y, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    y = Y
+    for _ in range(n):
+        tY = th.T * y
+        y = ((dot(Qn, y) + tY + Fdn) / (dot(Qp_, y) + tY + Fdp)) * y
+    return y
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_distinct_update_kernel_matches_xla(dtype):
+    """The streamed distinct update kernel reproduces the XLA einsum
+    update under identical rounding rules, across multiple row slabs
+    (N=200 -> two 128-row slabs after padding)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import (
+        fused_pqp_iterations_distinct_tiled)
+
+    rng = np.random.default_rng(0)
+    B, N = 3, 200
+    G = rng.standard_normal((B, N, 24)).astype(np.float32)
+    Qd = jnp.asarray(np.einsum("bik,bjk->bij", G, G) * 0.05)
+    theta = jnp.asarray(np.maximum(
+        np.maximum(-np.asarray(Qd), 0).sum(2), 5.0).astype(np.float32))
+    Fdn = jnp.asarray(np.abs(rng.standard_normal((N, B))),
+                      jnp.float32)
+    Fdp = jnp.asarray(np.abs(rng.standard_normal((N, B))) + 0.5,
+                      jnp.float32)
+    Y = jnp.asarray(np.abs(rng.standard_normal((N, B))), jnp.float32)
+
+    got = fused_pqp_iterations_distinct_tiled(
+        Qd, theta, Fdn, Fdp, Y, num_iters=5, interpret=True, dtype=dtype)
+    want = _xla_distinct_updates(Qd, theta, Fdn, Fdp, Y, 5, dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_solve_mixed_distinct_kernel_construction_consistent():
+    """solve_mixed's distinct phase-1 problem (clamped-rounded Qd,
+    theta from the ROUNDED rowsums) is bit-identical whether a step is
+    taken by the kernel or by the XLA accel/floor terms: the kernel's
+    internal theta raise must be a no-op on solve_mixed's theta."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    B, N = 2, 160
+    G = rng.standard_normal((B, N, 16)).astype(np.float32)
+    Qd = jnp.asarray(np.einsum("bik,bjk->bij", G, G) * 0.1)
+    r = jnp.arange(N)
+    dg = jnp.maximum(jnp.diagonal(Qd, axis1=1, axis2=2), 0.0)
+    Qc = Qd.at[:, r, r].set(dg)
+    Qb = Qc.astype(jnp.bfloat16)
+    # solve_mixed's theta (solver.py): rowsums of the rounded neg part
+    rs = jnp.sum(jnp.maximum(-Qb, 0).astype(jnp.float32), axis=-1)
+    theta = jnp.maximum(rs, 5.0)
+    raised = jnp.maximum(theta, jnp.sum(
+        jnp.maximum(-Qb.astype(jnp.float32), 0.0), axis=2))
+    np.testing.assert_array_equal(np.asarray(theta), np.asarray(raised))
