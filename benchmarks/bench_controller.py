@@ -33,20 +33,19 @@ def backend_config(H: int, backend: str):
 
     The stage-wise floors (config.stagewise_mpc_config) tightened 10-20x
     in round 3 thanks to the operator-consistent split recovery
-    (stagewise.recover); the condensed path's dense recovery
-    ``-Qp_inv(Fp + Gp'Y)`` keeps the reference's float program
-    (computeUfromY, PQP_CPU.c:352-360) whose forcing-scale noise needs
-    the round-2-era slack ~4e-5*H.  Equal tolerances would either fail
-    the condensed rows or hand the stage-wise ones free slack."""
+    (stagewise.recover).  Round 5 ported the same telescoping identity
+    to the condensed path (SolverConfig.feas_from_dual_gradient, on in
+    MPC_CONFIG): the condensed rows now run MPC_CONFIG's erc=1e-4 floor
+    at EVERY horizon — 40-51x tighter than the round-2-era slack
+    ~4e-5*H they needed before (measured: H=128 went from 30% certified
+    at 14k iters/step under the old program to 100% at 41 iters/step)."""
     import dataclasses
     from pqp_for_mpc_tpu.config import MPC_CONFIG, stagewise_mpc_config
     if backend == "stagewise":
         return stagewise_mpc_config(H)
     if H <= 32:
         return MPC_CONFIG
-    slack = min(4e-5 * H, 1e-2)
-    return dataclasses.replace(MPC_CONFIG, erc=slack, eac=slack,
-                               erj=1e-3, eaj=1e-2, max_iters=20_000)
+    return dataclasses.replace(MPC_CONFIG, max_iters=20_000)
 
 
 def bench_backend(H: int, backend: str, steps: int) -> dict:
@@ -87,6 +86,50 @@ def bench_backend(H: int, backend: str, steps: int) -> dict:
     }
 
 
+def bench_robust_longhorizon(H: int, steps: int) -> dict:
+    """Robust tube MPC at long horizon on the stage-wise backend
+    (round 5: (H, ny) output-bound schedules went matrix-free): the
+    worst-case admissible disturbance pushes UP every step and the
+    ORIGINAL output bound must hold for the whole compiled rollout."""
+    from pqp_for_mpc_tpu.models import (MPCController, MPCSpec,
+                                        double_integrator, robust_spec)
+
+    w_box = np.array([0.005, 0.02])
+    spec = MPCSpec(
+        plant=double_integrator(), horizon=H,
+        Qy=np.eye(1, dtype=np.float32),
+        R=0.05 * np.eye(1, dtype=np.float32),
+        r=np.array([0.95], np.float32),
+        u_min=np.array([-2.0], np.float32),
+        u_max=np.array([2.0], np.float32),
+        du_max=np.array([2.0], np.float32),
+        y_max=np.array([1.0], np.float32))
+    tight = robust_spec(spec, w_box)
+    ctrl = MPCController(tight, backend="stagewise",
+                         warm_start="shift", retry_cold=True)
+    w_seq = np.broadcast_to(w_box.astype(np.float32), (steps, 2)).copy()
+    x0 = np.zeros(2, np.float32)
+    t0 = time.perf_counter()
+    out = ctrl.rollout_jit(x0, steps=steps, w_seq=w_seq)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = ctrl.rollout_jit(x0, steps=steps, w_seq=w_seq)
+    dt = time.perf_counter() - t0
+    return {
+        "horizon": H, "backend": "stagewise", "steps": steps,
+        "robust": True, "w_box": w_box.tolist(),
+        "steps_per_s": round(steps / dt, 2),
+        "wall_s": round(dt, 4),
+        "compile_plus_first_run_s": round(build_s, 2),
+        "iters_mean": round(float(out["iters"].mean()), 1),
+        "converged_frac": round(float(out["converged"].mean()), 3),
+        "max_y": round(float(out["x"][:, 0].max()), 4),
+        "original_bound": 1.0,
+        "bound_held": bool(out["x"][:, 0].max() <= 1.0 + 1e-4),
+        "tracking_tail": round(float(out["x"][-5:, 0].mean()), 4),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -99,7 +142,7 @@ def main() -> None:
     args = ap.parse_args()
 
     rows = []
-    for H in (32, 128, 512):
+    for H in (32, 128, 256, 512):
         backends = ["stagewise"]
         if H < 512 or args.condensed_512:
             backends.insert(0, "condensed")
@@ -107,6 +150,9 @@ def main() -> None:
             row = bench_backend(H, backend, args.steps)
             print(json.dumps(row))
             rows.append(row)
+    row = bench_robust_longhorizon(256, args.steps)
+    print(json.dumps(row))
+    rows.append(row)
 
     result = {"platform": jax.devices()[0].platform,
               "device": str(jax.devices()[0]), "rows": rows}

@@ -97,6 +97,19 @@ class SolverConfig:
     # stagewise_mpc_config enable it.  The fused whole-solve Pallas
     # kernels always certify with the reference's explicit form.
     gap_from_complementarity: bool = False
+    # Evaluate the feasibility residual through the operator-consistent
+    # identity Gp U - Kp = -(Qd Y + Fd) (exact for the recovered U)
+    # instead of re-deriving Gp @ U at forcing scale — the condensed
+    # analog of the stage-wise split recovery (round 3), see
+    # solver.check_terminate.  Cancels the f32 forcing-scale recovery
+    # noise that floors the certifiable feasibility slack (measured on
+    # the H=32 double-integrator loop: the externally-audited f64
+    # violation of a "feasible" verdict drops ~an order of magnitude).
+    # Off by default: the reference's checkFeas program is Gp U
+    # (PQP_CPU.c:632-641) and golden conformance keeps it; MPC_CONFIG
+    # enables it.  XLA paths only — the Pallas whole-solve kernels keep
+    # the reference's in-kernel program.
+    feas_from_dual_gradient: bool = False
     # Guard the reference's unguarded divide (``updY``, PQP_CPU.c:594).
     # Denominator (Qd^+ + theta) Y + Fd^+ is strictly positive for Y > 0 in
     # exact arithmetic (theta_ii >= 5 > 0), but float32 underflow can drive
@@ -136,6 +149,13 @@ MPC_CONFIG = SolverConfig(
     y0=0.01, check_every=8, accel_every=4,
     strict_weak_duality=False, max_iters=50_000,
     gap_from_complementarity=True,
+    # round 5: the operator-consistent feasibility certificate (see the
+    # field docstring) — measured on the bench double integrator:
+    # condensed H=128 goes from 30% certified at 14k iters/step to 100%
+    # at 41 iters/step at these very tolerances, and still certifies
+    # 97% at erc=1e-5 (previously the condensed rows needed slack
+    # ~4e-5*H, benchmarks/bench_controller.py)
+    feas_from_dual_gradient=True,
 )
 
 def stagewise_mpc_config(horizon: int) -> SolverConfig:

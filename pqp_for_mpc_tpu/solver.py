@@ -230,12 +230,41 @@ def check_terminate(primal: PrimalQP, dual: DualQP, Y: jax.Array,
     """The four-part test of ``terminate`` (PQP_CPU.c:673-687), batched.
 
     Returns (ok, U, feas, Jp, Jd).
+
+    With ``cfg.feas_from_dual_gradient`` the feasibility residual is
+    evaluated through the OPERATOR-CONSISTENT identity
+
+        ``Gp U - Kp = -(Qd Y + Fd)``        (exact for the recovered U:
+        substitute U = -Qp^-1(Fp + Gp'Y) and Qd/Fd's definitions,
+        computeQd/computeFd PQP_CPU.c:440-460)
+
+    so the certificate is measured at DUAL scale instead of re-deriving
+    ``Gp @ (-Qp^-1(Fp + Gp'Y))`` at forcing scale, whose f32 noise
+    (~eps * |Fp| * kappa-ish) floors the feasibility slack the
+    condensed backend can certify.  This is the same telescoping trick
+    the stage-wise path's split recovery uses (models/stagewise.py,
+    round 3) — ported to the condensed backend (VERDICT r4 next #8).
+    The dual gradient is shared with the complementarity gap, so the
+    tighter certificate is also one matvec cheaper per check.
     """
     U = recover_U(primal, Y, precision)
-    feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
-    Jp, Jd = costs(primal, dual, Y, U, precision)
-    gap = (complementarity_gap(dual, Y, precision)
-           if cfg.gap_from_complementarity else None)
+    if cfg.feas_from_dual_gradient:
+        QdY = _mv(dual.Qd, Y, precision)
+        g = QdY + _as2d(dual.Fd)                    # = Kp - Gp U exactly
+        slack = jnp.maximum(cfg.erc * primal.Kp, cfg.eac)
+        feas = jnp.all(g >= -_as2d(slack), axis=0)
+        Jd = (0.5 * jnp.sum(Y * QdY, axis=0)
+              + jnp.sum(_as2d(dual.Fd) * Y, axis=0) + 0.5 * dual.Md)
+        QpU = _mv(primal.Qp, U, precision)
+        Jp = (0.5 * jnp.sum(U * QpU, axis=0)
+              + jnp.sum(_as2d(primal.Fp) * U, axis=0) + 0.5 * primal.Mp)
+        gap = (jnp.sum(Y * g, axis=0)
+               if cfg.gap_from_complementarity else None)
+    else:
+        feas = feasibility(primal, U, cfg.erc, cfg.eac, precision)
+        Jp, Jd = costs(primal, dual, Y, U, precision)
+        gap = (complementarity_gap(dual, Y, precision)
+               if cfg.gap_from_complementarity else None)
     fail = termination_fail(feas, Jp, Jd, cfg, gap)
     return ~fail, U, feas, Jp, Jd
 
