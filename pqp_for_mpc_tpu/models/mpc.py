@@ -809,7 +809,7 @@ class MPCController:
         u0 = res.U[:nu]
         return u0, res
 
-    def rollout_jit(self, x0, steps: int, d_forecast=None):
+    def rollout_jit(self, x0, steps: int, d_forecast=None, w_seq=None):
         """Fully-jitted closed loop: ``lax.scan`` over control steps with
         the PQP solve, constraint-vector rebuild (slew rows depend on the
         previous input) and plant propagation all in one compiled graph.
@@ -832,6 +832,11 @@ class MPCController:
         the reference's fixed-file pipeline can only bake one constant
         D into the forcing.
 
+        ``w_seq`` — optional ``(steps, ns)`` additive PROCESS disturbance
+        on the true state update (the robust tube's ``|w| <= w_box``;
+        pair with :func:`~pqp_for_mpc_tpu.models.robust.robust_spec`).
+        The solver never sees it — it hits only the simulated truth.
+
         Returns dict of stacked trajectories (x, u, iters, converged).
         Measurement noise is zero (use :meth:`rollout` for custom
         per-step callables, or
@@ -839,23 +844,26 @@ class MPCController:
         for UNMEASURED disturbances).
         """
         H, nd = self.spec.horizon, self.spec.plant.n_dist
-        key = (steps, d_forecast is not None)
+        key = (steps, d_forecast is not None, w_seq is not None)
         run = self._rollout_fns.get(key)
         if run is None:
             run = self._build_rollout_fn(steps,
-                                         with_preview=d_forecast is not None)
+                                         with_preview=d_forecast is not None,
+                                         with_w=w_seq is not None)
             self._rollout_fns[key] = run
-        if d_forecast is None:
-            xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32))
-        else:
+        args = [jnp.asarray(x0, jnp.float32)]
+        if w_seq is not None:
+            args.append(jnp.asarray(w_seq, jnp.float32).reshape(
+                steps, self.spec.plant.n_state))
+        if d_forecast is not None:
             df = jnp.asarray(d_forecast, jnp.float32).reshape(-1, nd)
             if df.shape[0] < steps + H:
                 raise ValueError(f"d_forecast needs {steps + H} rows "
                                  f"(steps + horizon), got {df.shape[0]}")
             # per-step preview windows (steps, H, nd) by vectorized gather
             idx = jnp.arange(steps)[:, None] + jnp.arange(H)[None, :]
-            xs, us, iters, conv = run(jnp.asarray(x0, jnp.float32),
-                                      df[idx])
+            args.append(df[idx])
+        xs, us, iters, conv = run(*args)
         return dict(x=np.asarray(xs), u=np.asarray(us),
                     iters=np.asarray(iters), converged=np.asarray(conv))
 
@@ -870,10 +878,38 @@ class MPCController:
                 "successive-linearization loops call step() per control "
                 "step (see examples/nonlinear_mpc.py)")
 
-    def _build_rollout_fn(self, steps: int, with_preview: bool = False):
+    @staticmethod
+    def _scan_run(step, init_of, steps, with_w, with_preview):
+        """Assemble the jitted lax.scan runner for the (w_seq, preview)
+        combination: ``step(carry, win, w_t)`` with None for absent
+        channels (shared by both backends' builders)."""
+        @jax.jit
+        def run(x0, *extra):
+            ws = extra[0] if with_w else None
+            wins = extra[-1] if with_preview else None
+            scanned = tuple(a for a in (ws, wins) if a is not None)
+
+            def body(cy, sc):
+                i = 0
+                w_t = sc[i] if with_w else None
+                i += int(with_w)
+                win = sc[i] if with_preview else None
+                return step(cy, win, w_t)
+
+            if scanned:
+                _, traj = jax.lax.scan(body, init_of(x0), scanned)
+            else:
+                _, traj = jax.lax.scan(lambda cy, _: step(cy, None, None),
+                                       init_of(x0), None, length=steps)
+            return traj
+        return run
+
+    def _build_rollout_fn(self, steps: int, with_preview: bool = False,
+                          with_w: bool = False):
         self._check_lti_rollout()
         if self.backend == "stagewise":
-            return self._build_rollout_fn_stagewise(steps, with_preview)
+            return self._build_rollout_fn_stagewise(steps, with_preview,
+                                                    with_w)
         spec, data, cfg = self.spec, self.data, self.cfg
         plant = spec.plant
         H, nu, nd = spec.horizon, plant.n_input, plant.n_dist
@@ -902,7 +938,7 @@ class MPCController:
 
         retry = self.retry_cold
 
-        def step(carry, win):
+        def step(carry, win, w_t=None):
             x, u_prev, Y = carry
             # win: (H, nd) preview window, or None (zero disturbance)
             D = D0 if win is None else win.reshape(-1)
@@ -922,6 +958,8 @@ class MPCController:
             xn = A @ x + Bm @ u0
             if win is not None:
                 xn = xn + Em @ win[0]
+            if w_t is not None:
+                xn = xn + w_t
             # next-step warm start honors the controller's mode
             if warm_mode == "shift":
                 Yn = self._shift_multipliers(res.Y)
@@ -932,26 +970,13 @@ class MPCController:
             return (xn, u0, Yn), (xn, u0, res.iters[0],
                                   res.converged[0])
 
-        if with_preview:
-            @jax.jit
-            def run(x0, windows):
-                init = (x0, jnp.zeros(nu, jnp.float32),
-                        jnp.full((N, 1), cfg.y0, jnp.float32))
-                _, traj = jax.lax.scan(step, init, windows)
-                return traj
-        else:
-            @jax.jit
-            def run(x0):
-                init = (x0, jnp.zeros(nu, jnp.float32),
-                        jnp.full((N, 1), cfg.y0, jnp.float32))
-                _, traj = jax.lax.scan(lambda cy, _: step(cy, None),
-                                       init, None, length=steps)
-                return traj
-
-        return run
+        init_of = lambda x0: (x0, jnp.zeros(nu, jnp.float32),
+                              jnp.full((N, 1), cfg.y0, jnp.float32))
+        return self._scan_run(step, init_of, steps, with_w, with_preview)
 
     def _build_rollout_fn_stagewise(self, steps: int,
-                                    with_preview: bool = False):
+                                    with_preview: bool = False,
+                                    with_w: bool = False):
         """Stage-wise analog of :meth:`_build_rollout_fn`: the whole
         closed loop — matrix-free solve included — in one lax.scan."""
         from pqp_for_mpc_tpu.models.stagewise import solve_stagewise
@@ -970,7 +995,7 @@ class MPCController:
 
         retry = self.retry_cold
 
-        def step(carry, win):
+        def step(carry, win, w_t=None):
             x, u_prev, Y = carry
             delta = u_prev - u_base
             Kp = sd0.Kp.at[2, 0].add(delta).at[3, 0].add(-delta)
@@ -986,6 +1011,8 @@ class MPCController:
             xn = A @ x + Bm @ u0
             if win is not None:
                 xn = xn + Em @ win[0]
+            if w_t is not None:
+                xn = xn + w_t
             if warm_mode == "shift":
                 Yn = self._shift_multipliers(res.Y)
             elif warm_mode:
@@ -995,23 +1022,9 @@ class MPCController:
             return (xn, u0, Yn), (xn, u0, res.iters[0],
                                   res.converged[0])
 
-        if with_preview:
-            @jax.jit
-            def run(x0, windows):
-                init = (x0, jnp.zeros(nu, jnp.float32),
-                        jnp.full((N, 1), cfg.y0, jnp.float32))
-                _, traj = jax.lax.scan(step, init, windows)
-                return traj
-        else:
-            @jax.jit
-            def run(x0):
-                init = (x0, jnp.zeros(nu, jnp.float32),
-                        jnp.full((N, 1), cfg.y0, jnp.float32))
-                _, traj = jax.lax.scan(lambda cy, _: step(cy, None),
-                                       init, None, length=steps)
-                return traj
-
-        return run
+        init_of = lambda x0: (x0, jnp.zeros(nu, jnp.float32),
+                              jnp.full((N, 1), cfg.y0, jnp.float32))
+        return self._scan_run(step, init_of, steps, with_w, with_preview)
 
     def rollout(self, x0, steps: int, d_fn=None, noise=None):
         """Closed-loop simulation for ``steps`` steps (BASELINE config 4).
