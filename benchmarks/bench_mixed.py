@@ -74,11 +74,17 @@ def main():
                            strict_weak_duality=False,
                            gap_from_complementarity=True,
                            erc=1e-6, eac=1e-6, eaj=1e-6, erj=1e-6)
+        import dataclasses
         primal = make_instances(B, M, N, seed=0, gaussian_gp=True)
         dual = dualize_distinct(primal, theta_floor=cfg.theta_floor)
+        cfg_k = dataclasses.replace(cfg, use_pallas=True)
         paths = {
             "f32_xla": jax.jit(partial(solve_batched, cfg=cfg)),
             "mixed": jax.jit(partial(solve_mixed, cfg=cfg)),
+            # round 5: the bf16 STREAMED distinct update kernel — one
+            # 2-byte per-instance matrix stream per update vs the einsum
+            # phase's two materialized bf16 splits
+            "mixed_kernel": jax.jit(partial(solve_mixed, cfg=cfg_k)),
         }
     else:
         import dataclasses
@@ -135,6 +141,9 @@ def main():
     if "tiled_kernel" in paths:
         row["speedup_vs_tiled_kernel"] = round(
             times["tiled_kernel"] / times["mixed"], 2)
+    if "mixed_kernel" in paths:
+        row["speedup_kernel_vs_f32"] = round(
+            times["f32_xla"] / times["mixed_kernel"], 2)
     print(json.dumps(row), flush=True)
 
 
