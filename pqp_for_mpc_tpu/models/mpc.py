@@ -543,11 +543,13 @@ from pqp_for_mpc_tpu.solver import merge_lanes as _merge_lanes  # noqa: F401
 
 
 #: auto_backend's condensed->stage-wise crossover, as the CONDENSED dual
-#: dimension n_con.  Measured (CONTROLLER_BENCH_r4/r5, double
-#: integrator, v5e): condensed wins at H=128 (n_con=512, 307 vs 135
-#: steps/s) and every smaller horizon; the stage-wise path is the only
-#: practical backend at H=512 (n_con=2048: the dense dual build is
-#: O(n_con^2 * H * nu) and each iteration streams the (n_con)^2 Qd).
+#: dimension n_con.  Measured (CONTROLLER_BENCH_r5, double integrator,
+#: v5e, 30-step warm-shift loops): condensed wins at n_con=512 (H=128:
+#: 273 vs 119 steps/s) and still at n_con=1024 (H=256: 72 vs 55), while
+#: at n_con=2048 (H=512) the dense path is impractical (its dense dual
+#: build is O(n_con^2 * H * nu), each iteration streams the (n_con)^2
+#: Qd, and its iteration count balloons: 370 iters/step at H=256 vs the
+#: matrix-free path's 22).  The crossover sits between 1024 and 2048.
 _AUTO_BACKEND_NCON = 1536
 
 
@@ -571,9 +573,9 @@ def auto_backend(spec: MPCSpec) -> str:
     """Pick the MPC backend for ``spec``: ``"condensed"`` (dense dual,
     the reference's formulation) while its n_con stays below the
     measured crossover, ``"stagewise"`` (matrix-free O(H)) beyond it.
-    Condensed-only features (move blocking, slack-softened outputs)
-    force ``"condensed"`` at any horizon."""
-    if spec.moves is not None or spec.soft_penalty is not None:
+    Move blocking (the one condensed-only feature) forces
+    ``"condensed"`` at any horizon."""
+    if spec.moves is not None:
         return "condensed"
     return ("condensed" if condensed_n_con(spec) < _AUTO_BACKEND_NCON
             else "stagewise")

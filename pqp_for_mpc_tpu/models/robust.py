@@ -87,7 +87,8 @@ def tube_margins(plant: LinearPlant, K, w_box, H: int):
     return m_u.astype(np.float64), m_y.astype(np.float64)
 
 
-def robust_spec(spec: MPCSpec, w_box, K=None) -> MPCSpec:
+def robust_spec(spec: MPCSpec, w_box, K=None,
+                slack: float = 0.0) -> MPCSpec:
     """Tighten ``spec``'s bounds into the constraint-tightening robust
     MPC problem for additive state disturbances ``|w_i| <= w_box_i``.
 
@@ -95,6 +96,17 @@ def robust_spec(spec: MPCSpec, w_box, K=None) -> MPCSpec:
     own (Qy, R) (stage-0 weights if schedules).  Raises if the margins
     consume a bound entirely (disturbance too large for the horizon —
     shorten H, enlarge the sets, or use a more aggressive K).
+
+    ``slack`` — extra constant margin on every bound, covering the QP
+    CERTIFICATION slack: the solver certifies feasibility only to
+    ``max(erc*|Kp|, eac)``, so a loop riding the tightened bound can
+    exceed the original one by exactly that much (measured: the H=256
+    stage-wise adversarial loop at stagewise_mpc_config's eac=5.1e-4
+    peaked at original_bound + 1.3e-4 with slack=0).  Pass the
+    config's ``eac`` (plus ``erc*|bound|`` if erc-dominated) to make
+    the ORIGINAL bounds hold through the certificate.  Estimation
+    error consumes margin the same way when the loop re-anchors from
+    an estimate — inflate ``w_box`` for that (tests/test_composition.py).
     """
     plant, H = spec.plant, spec.horizon
     if np.asarray(plant.A).ndim == 3:
@@ -109,6 +121,9 @@ def robust_spec(spec: MPCSpec, w_box, K=None) -> MPCSpec:
         K = lqr_gain(plant, Qy[0] if Qy.ndim == 3 else Qy,
                      R[0] if R.ndim == 3 else R)
     m_u, m_y = tube_margins(plant, K, w_box, H)
+    if slack:
+        m_u = m_u + float(slack)
+        m_y = m_y + float(slack)
 
     def stack(v, n):
         a = np.asarray(v, np.float64)

@@ -807,8 +807,10 @@ def stagewise_dual(spec: MPCSpec, theta_floor: float = 5.0,
     ``(H, ny)`` schedules (robust tube tightening,
     :func:`~pqp_for_mpc_tpu.models.robust.robust_spec`) both work — the
     bound values only enter the per-instance Kp_y rows, never the
-    geometry.  Hard bounds only — ``soft_penalty`` (slack-softened
-    outputs) remains condensed-only.
+    geometry.  ``soft_penalty`` (slack-softened outputs) works too —
+    the slack-borne Qd couplings are handled in closed form
+    (``_with_soft``; see the class docstring and
+    tests/test_stagewise.py::test_stagewise_soft_outputs_match_condensed).
 
     For receding-horizon loops that RELINEARIZE the plant every step
     (successive linearization / real-time iteration), build once here
