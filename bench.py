@@ -31,12 +31,14 @@ def main() -> None:
     from pqp_for_mpc_tpu.solver import solve_batched
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    # Large batch amortizes the ~26 ms tunnel round-trip toward the
-    # ~9.2M solves/s device-side rate (measured: 262k -> 4.82M,
-    # 1M -> 7.19M, 2M -> 7.99M, 4M -> 8.41M solves/s at check_every=8 /
-    # mean 313 iters; the device kernel is VPU-bound, DESIGN.md §3).
+    # Large batch amortizes the ~26 ms tunnel round-trip (measured r2:
+    # 262k -> 4.82M, 1M -> 7.19M, 2M -> 7.99M, 4M -> 8.41M solves/s).
+    # Round 5 re-swept the kernel's batch block on the current design
+    # (ops/solve_kernel.MAX_SOLVE_BLOCK_B: 1024 -> 2048 = +20%) and the
+    # batch (8.4M amortizes the fixed cost further): 10.49M solves/s,
+    # mean 313 iters, 100% converged (DESIGN.md §3 roofline note).
     # CPU (no whole-solve kernel) keeps the smaller batch.
-    B = 4194304 if on_tpu else 262144
+    B = 8388608 if on_tpu else 262144
     data = load_example_dir("/root/reference/example")
     rng = np.random.default_rng(0)
     x = np.asarray(data.x, np.float32)[:, None] + rng.normal(

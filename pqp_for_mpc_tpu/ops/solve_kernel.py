@@ -59,11 +59,17 @@ VMEM_OPERAND_BUDGET = 40 * 1024 * 1024
 #: Cap on the per-grid-step batch block.  Historical note: the original
 #: design carried Y/masks through the scf.while (large vector carries
 #: fail Mosaic legalization or spill); the sweep on v5e at N=28/B=8192
-#: gave 512 -> 245k solves/s, 1024 -> 3.23M, 2048 -> 261k, 4096 -> 234k.
-#: The state now lives in VMEM scratch with a scalar-only while carry,
-#: but the update-fori's register working set is similar and the swept
-#: optimum still holds empirically.
-MAX_SOLVE_BLOCK_B = 1024
+#: gave 512 -> 245k solves/s, 1024 -> 3.23M, 2048 -> 261k, 4096 -> 234k
+#: — and 1024 was kept after the state moved to VMEM scratch.  Round 5
+#: re-swept on the CURRENT kernel at the headline workload (example/
+#: problem, full convergence, B = 8.4M): 1024 -> 8.71M solves/s,
+#: 2048 -> 10.49M, 4096 -> 11.20M, 8192 -> see BENCH notes — the old
+#: cliff was an artifact of the while-carry design, and the wider
+#: block amortizes the per-block fixed cost (matrix re-load + check
+#: machinery) over more lanes.  The cap matters only for small N: from
+#: N ~ 256 the VMEM-budget term of solve_kernel_batch_block binds
+#: first.
+MAX_SOLVE_BLOCK_B = 4096
 
 
 def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
@@ -79,9 +85,15 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
         + 3 * n_pad * 4                              # x2 double-buffer
     bb = avail // per_lane
     bb = (bb // _LANE) * _LANE
-    # vreg-pressure cap: the while carry holds ~3 (N, bb) f32 tensors at
-    # (n/8)*(bb/128) vregs each; keep the total under ~256 vregs.
-    vreg_cap = max(_LANE, (256 * 1024 // (3 * n_pad)) // _LANE * _LANE)
+    # vreg-pressure cap: the update chain works on ~3 (N, bb) f32
+    # tensors at (n/8)*(bb/128) vregs each.  The round-5 sweep showed
+    # the old 256-vreg budget was over-conservative in the small-N
+    # regime (N=28: bb=4096 measured 11.2M solves/s vs 2048's 10.5M —
+    # Mosaic tiles the loop body fine), so small N gets a 4x budget;
+    # larger N keeps the conservative cap its configs were measured at
+    # (CONFORMANCE rows run N>=256 at the VMEM/vreg caps below).
+    budget = 1024 * 1024 if n_pad <= 128 else 256 * 1024
+    vreg_cap = max(_LANE, (budget // (3 * n_pad)) // _LANE * _LANE)
     return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))
 
 
