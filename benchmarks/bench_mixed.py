@@ -48,6 +48,12 @@ def main():
                     help="per-instance geometry (3-D Qd, einsum path); "
                          "sizes default to 8 x N=2048/M=512")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--feas-gradient", action="store_true",
+                    help="certify with the operator-consistent "
+                         "feasibility (round 5): the check shares ONE "
+                         "Qd pass between feasibility, costs and gap "
+                         "instead of three, cutting the distinct "
+                         "path's per-block f32 einsum overhead")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +79,7 @@ def main():
                            accel_every=k if args.accel else 0,
                            strict_weak_duality=False,
                            gap_from_complementarity=True,
+                           feas_from_dual_gradient=args.feas_gradient,
                            erc=1e-6, eac=1e-6, eaj=1e-6, erj=1e-6)
         import dataclasses
         primal = make_instances(B, M, N, seed=0, gaussian_gp=True)
@@ -129,7 +136,8 @@ def main():
     row = {"bench": "mixed_precision_solve", "device": str(jax.devices()[0]),
            "N": N, "M": M, "B": B, "max_iters": args.max_iters,
            "check_every": k, "accel": args.accel,
-           "distinct": args.distinct, "mode": "complementarity"}
+           "distinct": args.distinct, "mode": "complementarity",
+           "feas_gradient": getattr(args, "feas_gradient", False)}
     for name in paths:
         r = results[name]
         row[f"{name}_s"] = round(times[name], 4)

@@ -63,13 +63,13 @@ VMEM_OPERAND_BUDGET = 40 * 1024 * 1024
 #: — and 1024 was kept after the state moved to VMEM scratch.  Round 5
 #: re-swept on the CURRENT kernel at the headline workload (example/
 #: problem, full convergence, B = 8.4M): 1024 -> 8.71M solves/s,
-#: 2048 -> 10.49M, 4096 -> 11.20M, 8192 -> see BENCH notes — the old
-#: cliff was an artifact of the while-carry design, and the wider
+#: 2048 -> 10.49M, 4096 -> 11.20M, 8192 -> 11.51M (diminishing) — the
+#: old cliff was an artifact of the while-carry design, and the wider
 #: block amortizes the per-block fixed cost (matrix re-load + check
 #: machinery) over more lanes.  The cap matters only for small N: from
 #: N ~ 256 the VMEM-budget term of solve_kernel_batch_block binds
 #: first.
-MAX_SOLVE_BLOCK_B = 4096
+MAX_SOLVE_BLOCK_B = 8192
 
 
 def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
@@ -92,8 +92,8 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     # Mosaic tiles the loop body fine), so small N gets a 4x budget;
     # larger N keeps the conservative cap its configs were measured at
     # (CONFORMANCE rows run N>=256 at the VMEM/vreg caps below).
-    budget = 1024 * 1024 if n_pad <= 128 else 256 * 1024
-    vreg_cap = max(_LANE, (budget // (3 * n_pad)) // _LANE * _LANE)
+    vreg_budget = 2048 * 1024 if n_pad <= 128 else 256 * 1024
+    vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad)) // _LANE * _LANE)
     return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))
 
 
