@@ -63,13 +63,14 @@ VMEM_OPERAND_BUDGET = 40 * 1024 * 1024
 #: — and 1024 was kept after the state moved to VMEM scratch.  Round 5
 #: re-swept on the CURRENT kernel at the headline workload (example/
 #: problem, full convergence, B = 8.4M): 1024 -> 8.71M solves/s,
-#: 2048 -> 10.49M, 4096 -> 11.20M, 8192 -> 11.51M (diminishing) — the
+#: 2048 -> 10.49M, 4096 -> 11.20M, 8192 -> 11.51M, 16384 -> 11.67M
+#: (diminishing; the VMEM budget caps ~17.6k lanes at N=28) — the
 #: old cliff was an artifact of the while-carry design, and the wider
 #: block amortizes the per-block fixed cost (matrix re-load + check
 #: machinery) over more lanes.  The cap matters only for small N: from
 #: N ~ 256 the VMEM-budget term of solve_kernel_batch_block binds
 #: first.
-MAX_SOLVE_BLOCK_B = 8192
+MAX_SOLVE_BLOCK_B = 16384
 
 
 def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
