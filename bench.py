@@ -34,9 +34,10 @@ def main() -> None:
     # Large batch amortizes the ~26 ms tunnel round-trip (measured r2:
     # 262k -> 4.82M, 1M -> 7.19M, 2M -> 7.99M, 4M -> 8.41M solves/s).
     # Round 5 re-swept the kernel's batch block on the current design
-    # (ops/solve_kernel.MAX_SOLVE_BLOCK_B: 1024 -> 2048 = +20%) and the
-    # batch (8.4M amortizes the fixed cost further): 10.49M solves/s,
-    # mean 313 iters, 100% converged (DESIGN.md §3 roofline note).
+    # (ops/solve_kernel.MAX_SOLVE_BLOCK_B: 1024 -> 16384, monotone
+    # 8.71M -> 11.67M across the sweep) and the batch (8.4M amortizes
+    # the fixed cost further): 11.62M solves/s official, mean 313
+    # iters, 100% converged (DESIGN.md §3 roofline note).
     # CPU (no whole-solve kernel) keeps the smaller batch.
     B = 8388608 if on_tpu else 262144
     data = load_example_dir("/root/reference/example")

@@ -37,17 +37,16 @@ import jax.numpy as jnp
 from pqp_for_mpc_tpu.models.plants import LinearPlant
 
 
-def kalman_gain(plant: LinearPlant, Qw, Rv,
-                max_iters: int = 10_000,
+def filter_dare(A, C, Qw, Rv, max_iters: int = 10_000,
                 tol: float = 1e-12) -> np.ndarray:
-    """Steady-state Kalman gain ``L (ns, ny)`` for
-    ``x+ = A x + B u + w``, ``y = C x + v`` with ``cov(w) = Qw``,
-    ``cov(v) = Rv`` — float64 value iteration on the filter DARE
-    (host-side, once per plant).  LTI plants only."""
-    A = np.asarray(plant.A, np.float64)
-    C = np.asarray(plant.C, np.float64)
-    if A.ndim != 2:
-        raise ValueError("kalman_gain needs an LTI plant")
+    """Steady-state one-step prediction covariance ``P (ns, ns)`` —
+    float64 value iteration on the filter DARE
+    ``P = A (P - P C'(C P C'+Rv)^-1 C P) A' + Qw`` (host-side, once
+    per plant).  Single source of truth for :func:`kalman_gain` and
+    the MHE arrival priors (models/mhe.py); raises on non-convergence
+    instead of silently returning a miscalibrated prior."""
+    A = np.asarray(A, np.float64)
+    C = np.asarray(C, np.float64)
     Qw = np.asarray(Qw, np.float64)
     Rv = np.asarray(Rv, np.float64)
     P = Qw.copy()
@@ -57,12 +56,24 @@ def kalman_gain(plant: LinearPlant, Qw, Rv,
         P_next = A @ (P - K @ C @ P) @ A.T + Qw
         P_next = 0.5 * (P_next + P_next.T)
         if np.abs(P_next - P).max() <= tol * max(1.0, np.abs(P).max()):
-            P = P_next
-            break
+            return P_next
         P = P_next
-    else:
-        raise ValueError("filter DARE value iteration did not converge "
-                         "(undetectable (A, C)?)")
+    raise ValueError("filter DARE value iteration did not converge "
+                     "(undetectable (A, C)?)")
+
+
+def kalman_gain(plant: LinearPlant, Qw, Rv,
+                max_iters: int = 10_000,
+                tol: float = 1e-12) -> np.ndarray:
+    """Steady-state Kalman gain ``L (ns, ny)`` for
+    ``x+ = A x + B u + w``, ``y = C x + v`` with ``cov(w) = Qw``,
+    ``cov(v) = Rv`` (:func:`filter_dare` + one solve).  LTI only."""
+    A = np.asarray(plant.A, np.float64)
+    C = np.asarray(plant.C, np.float64)
+    if A.ndim != 2:
+        raise ValueError("kalman_gain needs an LTI plant")
+    Rv = np.asarray(Rv, np.float64)
+    P = filter_dare(A, C, Qw, Rv, max_iters=max_iters, tol=tol)
     S = C @ P @ C.T + Rv
     return np.linalg.solve(S, C @ P).T.astype(np.float32)
 

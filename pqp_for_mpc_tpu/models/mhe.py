@@ -99,22 +99,10 @@ class MovingHorizonEstimator:
         wmin = (np.full(ns, -big) if w_min is None
                 else np.asarray(w_min, np.float64))
         if P0 is None:
-            # steady-state one-step prediction covariance (filter DARE,
-            # f64 value iteration — same recursion as estimator.py)
-            C64 = np.asarray(plant.C, np.float64)
-            A64 = np.asarray(plant.A, np.float64)
-            P = Qw.copy()
-            for _ in range(10_000):
-                S = C64 @ P @ C64.T + Rv
-                K = np.linalg.solve(S, C64 @ P).T
-                Pn = A64 @ (P - K @ C64 @ P) @ A64.T + Qw
-                Pn = 0.5 * (Pn + Pn.T)
-                if np.abs(Pn - P).max() <= 1e-12 * max(1.0,
-                                                       np.abs(P).max()):
-                    P = Pn
-                    break
-                P = Pn
-            P0 = P
+            # steady-state one-step prediction covariance (the shared
+            # filter-DARE solver; raises on undetectable (A, C))
+            from pqp_for_mpc_tpu.models.estimator import filter_dare
+            P0 = filter_dare(plant.A, plant.C, Qw, Rv)
         P0 = np.asarray(P0, np.float64)
         # arrival cost as stage-0 structure: free bounds, weight P0^-1
         R_stack = np.concatenate(
@@ -371,18 +359,10 @@ class NonlinearMHE:
         wmin = (np.full(ns, -big) if w_min is None
                 else np.asarray(w_min, np.float64))
         if P0 is None:
-            P = Qw.copy()
-            for _ in range(10_000):
-                S = C @ P @ C.T + Rv
-                K = np.linalg.solve(S, C @ P).T
-                Pn = A0 @ (P - K @ C @ P) @ A0.T + Qw
-                Pn = 0.5 * (Pn + Pn.T)
-                if np.abs(Pn - P).max() <= 1e-12 * max(1.0,
-                                                       np.abs(P).max()):
-                    P = Pn
-                    break
-                P = Pn
-            P0 = P
+            # arrival prior from the INITIAL linearization's filter
+            # DARE (the shared solver; raises on undetectable (A0, C))
+            from pqp_for_mpc_tpu.models.estimator import filter_dare
+            P0 = filter_dare(A0, C, Qw, Rv)
         P0 = np.asarray(P0, np.float64)
 
         R_stack = np.concatenate(

@@ -89,10 +89,14 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     # vreg-pressure cap: the update chain works on ~3 (N, bb) f32
     # tensors at (n/8)*(bb/128) vregs each.  The round-5 sweep showed
     # the old 256-vreg budget was over-conservative in the small-N
-    # regime (N=28: bb=4096 measured 11.2M solves/s vs 2048's 10.5M —
-    # Mosaic tiles the loop body fine), so small N gets a 4x budget;
-    # larger N keeps the conservative cap its configs were measured at
-    # (CONFORMANCE rows run N>=256 at the VMEM/vreg caps below).
+    # regime (N=28: bb grew 1024 -> 16384 with monotone throughput
+    # gains, 8.7M -> 11.7M solves/s — Mosaic tiles the loop body fine),
+    # so small N gets an 8x budget.  The enlarged blocks at the other
+    # small sizes were validated on-chip post-raise (N=64/128, B=8192:
+    # bb 10880/5376, parity + throughput vs the XLA path in
+    # benchmarks/BLOCK_VALIDATE_r5.json); conformance's B=128 rows are
+    # unaffected (bb is capped by b_pad=128 there).  Larger N keeps the
+    # conservative cap its configs were measured at.
     vreg_budget = 2048 * 1024 if n_pad <= 128 else 256 * 1024
     vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad)) // _LANE * _LANE)
     return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))

@@ -45,6 +45,13 @@ shared, resident  N >= 512,  fused           reference-mode wins were
                                              only (CONFORMANCE_r2/r3);
                                              solve_mixed has no
                                              reference-mode row yet
+shared, resident  feas_from_  xla            the kernels certify with
+                  dual_grad-                 the reference's forcing-
+                  ient on                    scale Gp U program; only
+                                             the XLA check honors the
+                                             operator-consistent
+                                             certificate the cfg asked
+                                             for
 shared, streamed  N > ~1800  mixed           MIXED_BENCH_r4: 3.7x/3.3x
                   (!fits_                    vs f32 XLA at N=4096, 2.5-
                   vmem)                      2.8x vs the streamed f32
@@ -125,6 +132,15 @@ def route_solve(n_con: int, batch: int, distinct: bool,
         return "xla"
     if n_con >= 512 and cfg.gap_from_complementarity:
         return "mixed"
+    if cfg.feas_from_dual_gradient:
+        # the whole-solve kernel certifies feasibility with the
+        # reference's forcing-scale Gp U program in-kernel; a cfg that
+        # asked for the operator-consistent certificate (MPC_CONFIG
+        # default since round 5) must ride the XLA check — routing it
+        # to "fused" would silently drop the certificate the caller
+        # chose (and, at condensed-MPC scales, burn max_iters failing
+        # the forcing-scale test the flag exists to replace)
+        return "xla"
     return "fused"
 
 
@@ -162,10 +178,11 @@ def solve_auto(primal: PrimalQP, dual: DualQP,
         return solve_batched(primal, dual, Y0=Y0, cfg=cfg,
                              retry_cold=retry_cold and Y0 is not None)
     if engine == "mixed":
-        if not distinct and jax.default_backend() == "tpu":
-            # the bf16 streamed update kernel beats the XLA mixed phase
-            # in every MIXED_BENCH_r4 row (it streams ONE 2-byte matrix
-            # per update); solve_mixed gates it on residency itself
+        if jax.default_backend() == "tpu":
+            # the bf16 streamed update kernels beat the XLA mixed phase
+            # in every MIXED_BENCH_r4/r5 row (ONE 2-byte matrix stream
+            # per update, shared AND distinct geometry); solve_mixed
+            # gates them on the appropriate residency test itself
             cfg = dataclasses.replace(cfg, use_pallas=True)
         fn = lambda y0: solve_mixed(primal, dual, Y0=y0, cfg=cfg)
     elif engine == "fused":

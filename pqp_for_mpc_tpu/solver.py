@@ -535,10 +535,18 @@ def solve_mixed(primal: PrimalQP, dual: DualQP,
     bf16 = jnp.bfloat16
     use_kernel = cfg.use_pallas
     if use_kernel:
-        from pqp_for_mpc_tpu.ops import kernels as _kernels
-        # the bf16 streamed kernels are the bulk engine only beyond
-        # VMEM residency (below it the resident f32 kernels already win)
-        use_kernel = not _kernels.fits_vmem(N)
+        # the bf16 streamed kernels are the bulk engine only beyond the
+        # relevant VMEM residency: the SHARED test for 2-D Qd (below it
+        # the resident f32 kernels already win) and the per-instance
+        # distinct-kernel budget for 3-D Qd (below it
+        # ops/distinct_kernel's resident whole-solve is the engine)
+        if distinct:
+            from pqp_for_mpc_tpu.ops.distinct_kernel import \
+                distinct_fits_vmem
+            use_kernel = not distinct_fits_vmem(N, primal.Gp.shape[-1])
+        else:
+            from pqp_for_mpc_tpu.ops import kernels as _kernels
+            use_kernel = not _kernels.fits_vmem(N)
     if use_kernel and distinct:
         from pqp_for_mpc_tpu.ops import distinct_tiled_kernel as _dtiled
     elif use_kernel:

@@ -77,6 +77,22 @@ def test_route_warm_or_small_batch_resident_xla():
                        platform="tpu") == "xla"
 
 
+def test_route_feas_gradient_avoids_kernel_certification():
+    """A cfg asking for the operator-consistent certificate
+    (feas_from_dual_gradient, MPC_CONFIG's default since round 5) must
+    not route to the whole-solve kernel, whose in-kernel feasibility is
+    the reference's forcing-scale Gp U program — the XLA check (or
+    mixed's phase 2) is the only engine that honors the flag."""
+    from pqp_for_mpc_tpu.routing import route_solve
+    cfg = _cfg(feas_from_dual_gradient=True)
+    assert route_solve(256, 4096, False, cfg, platform="tpu") == "xla"
+    # the >=512 complementarity regime still goes to mixed (its
+    # certification runs through check_terminate, which honors the flag)
+    assert route_solve(1024, 128, False, cfg, platform="tpu") == "mixed"
+    # reference-style cfg without the flag keeps the kernel route
+    assert route_solve(256, 4096, False, _cfg(), platform="tpu") == "fused"
+
+
 def test_route_distinct():
     from pqp_for_mpc_tpu.ops.distinct_kernel import distinct_fits_vmem
     from pqp_for_mpc_tpu.routing import route_solve
