@@ -88,7 +88,7 @@ def main():
         ("streamed", lambda: _shared_problem(4096, 1024, 128),
          ["xla", "mixed"]),
         ("distinct_streamed", lambda: _distinct_problem(2048, 512, 8),
-         ["xla", "mixed"]),
+         ["xla", "mixed", "fused_distinct_tiled"]),
     ]
     for regime, build_fn, engines in configs:
         primal, dual = build_fn()

@@ -93,8 +93,14 @@ from pqp_for_mpc_tpu.solver import (SolveResult, _as2d, retry_cold_solve,
 #: sub-lane batch wastes the padded lanes' compute
 _LANE = 128
 
-#: engines route_solve can return
-ENGINES = ("xla", "fused", "mixed", "fused_distinct")
+#: engines route_solve can return, plus the explicitly-requestable
+#: streamed distinct whole-solve kernel (solve_auto(engine=...) only:
+#: on the MIXED_BENCH_r5 workload the mixed bf16 path beats it, so
+#: route_solve never picks it, but it remains the right tool for
+#: reference-tolerance distinct marathons where per-instance early
+#: exit dominates — DISTINCT_STREAM_BENCH_r3's 27k-iteration family)
+ENGINES = ("xla", "fused", "mixed", "fused_distinct",
+           "fused_distinct_tiled")
 
 
 def route_solve(n_con: int, batch: int, distinct: bool,
@@ -188,6 +194,11 @@ def solve_auto(primal: PrimalQP, dual: DualQP,
     elif engine == "fused":
         from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
         fn = lambda y0: solve_fused(primal, dual, Y0=y0, cfg=cfg)
+    elif engine == "fused_distinct_tiled":
+        from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import \
+            solve_fused_distinct_tiled
+        fn = lambda y0: solve_fused_distinct_tiled(primal, dual, Y0=y0,
+                                                   cfg=cfg)
     else:
         from pqp_for_mpc_tpu.ops.distinct_kernel import solve_fused_distinct
         fn = lambda y0: solve_fused_distinct(primal, dual, Y0=y0, cfg=cfg)
