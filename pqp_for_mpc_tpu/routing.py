@@ -94,11 +94,14 @@ from pqp_for_mpc_tpu.solver import (SolveResult, _as2d, retry_cold_solve,
 _LANE = 128
 
 #: engines route_solve can return, plus the explicitly-requestable
-#: streamed distinct whole-solve kernel (solve_auto(engine=...) only:
-#: on the MIXED_BENCH_r5 workload the mixed bf16 path beats it, so
-#: route_solve never picks it, but it remains the right tool for
-#: reference-tolerance distinct marathons where per-instance early
-#: exit dominates — DISTINCT_STREAM_BENCH_r3's 27k-iteration family)
+#: streamed distinct whole-solve kernel (solve_auto(engine=...) only).
+#: route_solve never picks the latter: mixed beats it on the
+#: MIXED_BENCH_r5 workload (1.26 vs 1.67 s) AND — measured round 5 —
+#: on the hard tight-tolerance marathon family its early exit was
+#: built for (4.84 vs 5.14 s at 28k bf16 iterations vs 19k f32; the
+#: 2-byte stream outruns the iteration-count advantage).  It stays
+#: requestable as the single-launch option (e.g. one dispatch per
+#: batch under external schedulers).
 ENGINES = ("xla", "fused", "mixed", "fused_distinct",
            "fused_distinct_tiled")
 
