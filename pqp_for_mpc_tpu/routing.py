@@ -20,15 +20,22 @@ The map (every edge cites the artifact that measured it):
 geometry          regime     engine          measured by
 ================  =========  ==============  ===========================
 any               CPU/other  xla             Mosaic kernels are TPU-only
-shared (2-D Qd)   warm or    xla             CONTROLLER_BENCH_r2..r5 —
-                  B < 128                    the receding-horizon regime
+shared (2-D Qd)   B < 128    xla             CONTROLLER_BENCH_r2..r5 —
+                                             the receding-horizon regime
                                              (B=1, warm shift) was
                                              measured through
                                              solve_batched; lanes pad to
                                              128 in the kernels.  Also
                                              keeps the reference-mode
                                              float program exactly XLA's
-                                             (golden 313 parity).
+                                             (golden 313 parity).  Warm
+                                             LARGE batches ride the
+                                             kernel when the cfg is
+                                             kernel-certifiable
+                                             (measured N=96/B=2048:
+                                             0.294 vs 0.390 s) and stay
+                                             on XLA at the unmeasured
+                                             warm-mixed sizes.
 shared, resident  N < 512    fused           CONFORMANCE_r3 (1.1-2.8x vs
                                              XLA), MIXED_RESIDENT_r4
                                              (N=256: mixed 0.99x vs
@@ -134,13 +141,15 @@ def route_solve(n_con: int, batch: int, distinct: bool,
     from pqp_for_mpc_tpu.ops.kernels import fits_vmem
     if not fits_vmem(n_con):
         return "mixed"
-    if warm or batch < _LANE:
-        # receding-horizon / small-batch regime: measured through the
-        # XLA while loop (CONTROLLER_BENCH), and the kernels would pad
-        # the batch to 128 lanes anyway
+    if batch < _LANE:
+        # small-batch / single-lane receding-horizon regime: measured
+        # through the XLA while loop (CONTROLLER_BENCH), and the
+        # kernels would pad the batch to 128 lanes anyway
         return "xla"
     if n_con >= 512 and cfg.gap_from_complementarity:
-        return "mixed"
+        # warm large-batch at this size is unmeasured for the mixed
+        # path — stay on the engine the warm regime was measured with
+        return "xla" if warm else "mixed"
     if cfg.feas_from_dual_gradient:
         # the whole-solve kernel certifies feasibility with the
         # reference's forcing-scale Gp U program in-kernel; a cfg that
@@ -150,6 +159,10 @@ def route_solve(n_con: int, batch: int, distinct: bool,
         # chose (and, at condensed-MPC scales, burn max_iters failing
         # the forcing-scale test the flag exists to replace)
         return "xla"
+    # resident, kernel-certifiable cfg: the whole-solve kernel wins for
+    # cold AND warm batches (measured N=96/B=2048 warm scenario
+    # fan-out: fused 0.294 s vs XLA 0.390 s, identical certified
+    # counts — warm starts ride Y0 into the kernel unchanged)
     return "fused"
 
 

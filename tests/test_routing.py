@@ -64,13 +64,20 @@ def test_route_shared_streamed_mixed():
 
 
 def test_route_warm_or_small_batch_resident_xla():
-    """The receding-horizon regime (warm shift, B < 128) was measured
-    through solve_batched (CONTROLLER_BENCH) — and small batches pad to
-    128 kernel lanes anyway."""
+    """The receding-horizon regime (B < 128) was measured through
+    solve_batched (CONTROLLER_BENCH) — and small batches pad to 128
+    kernel lanes anyway.  WARM LARGE batches ride the kernel when the
+    cfg is kernel-certifiable (measured: fused 0.294 s vs XLA 0.390 s
+    at N=96/B=2048 warm, identical certified counts) but stay on XLA
+    at the unmeasured warm-mixed sizes."""
     from pqp_for_mpc_tpu.routing import route_solve
     assert route_solve(96, 1, False, _cfg(), platform="tpu",
                        warm=True) == "xla"
     assert route_solve(96, 4, False, _cfg(), platform="tpu") == "xla"
+    assert route_solve(96, 2048, False, _cfg(), platform="tpu",
+                       warm=True) == "fused"
+    assert route_solve(1024, 2048, False, _cfg(), platform="tpu",
+                       warm=True) == "xla"
     # golden-parity guard: the CLI single solve keeps XLA's exact
     # reference-mode float program
     assert route_solve(28, 1, False, _cfg(gap_from_complementarity=False),
