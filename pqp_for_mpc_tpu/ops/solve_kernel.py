@@ -97,8 +97,20 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
     # benchmarks/BLOCK_VALIDATE_r5.json); conformance's B=128 rows are
     # unaffected (bb is capped by b_pad=128 there).  Larger N keeps the
     # conservative cap its configs were measured at.
-    vreg_budget = 2048 * 1024 if n_pad <= 128 else 256 * 1024
-    vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad)) // _LANE * _LANE)
+    if n_pad <= 128:
+        vreg_budget = 2048 * 1024
+        vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad))
+                       // _LANE * _LANE)
+    elif n_pad <= 512:
+        # mid band re-swept round 5 at B=32768: N=256 runs 0.413 s at
+        # the old 256-lane cap, 0.396 s at 1024 (+4%); N=512 2.11 s vs
+        # 2.06-2.09 s at 512-1024 (wash-to-+2%) — the per-block fixed
+        # cost matters less as the per-iteration matvec grows
+        vreg_cap = 8 * _LANE
+    else:
+        vreg_budget = 256 * 1024
+        vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad))
+                       // _LANE * _LANE)
     return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))
 
 
