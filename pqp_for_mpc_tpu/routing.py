@@ -147,8 +147,11 @@ def route_solve(n_con: int, batch: int, distinct: bool,
         # kernels would pad the batch to 128 lanes anyway
         return "xla"
     if n_con >= 512 and cfg.gap_from_complementarity:
-        # warm large-batch at this size is unmeasured for the mixed
-        # path — stay on the engine the warm regime was measured with
+        # warm large batches here are check-dominated (a good Y0
+        # certifies within ~1 cadence) and measured fastest on the XLA
+        # path: N=1024/B=2048 warm — xla 38.5 ms, fused 40.7, mixed
+        # 41.6, all at 17 iters; mixed's bf16 bulk phase only pays off
+        # from a cold start (200 ms vs f32's ~320 on the same problem)
         return "xla" if warm else "mixed"
     if cfg.feas_from_dual_gradient:
         # the whole-solve kernel certifies feasibility with the
