@@ -13,6 +13,10 @@ reference — the classic constrained-servo scenario.
 Usage: python examples/constrained_outputs_mpc.py [horizon] [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

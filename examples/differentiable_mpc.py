@@ -8,6 +8,10 @@ optimal input matches a target input.
     python examples/differentiable_mpc.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import jax
 import jax.numpy as jnp
 import numpy as np

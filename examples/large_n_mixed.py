@@ -18,6 +18,10 @@ effect, or run ``python benchmarks/bench_mixed.py``.
     python examples/large_n_mixed.py [--n 384] [--b 8]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import argparse
 import time
 from functools import partial

@@ -9,6 +9,10 @@ could exist (the reference is a C executable).
     python examples/learned_mpc_closed_loop.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import dataclasses
 
 import jax

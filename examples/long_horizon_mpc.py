@@ -12,6 +12,10 @@ any step whose warm start fails certification.
 Usage: python examples/long_horizon_mpc.py [horizon] [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

@@ -22,6 +22,10 @@ successively-linearized loop stabilizes it.
     python examples/nonlinear_mpc.py [steps] [--eager]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

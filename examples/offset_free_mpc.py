@@ -11,6 +11,10 @@ in ONE ``lax.scan`` dispatch.
     python examples/offset_free_mpc.py [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

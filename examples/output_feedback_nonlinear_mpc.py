@@ -22,6 +22,10 @@ surface, nor a loop.
 Usage:  python examples/output_feedback_nonlinear_mpc.py [STEPS]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

@@ -24,6 +24,10 @@ one file-loaded QP per process invocation (PQP_CPU.c:935-1040).
 Usage:  python examples/production_mpc.py [STEPS]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

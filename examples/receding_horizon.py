@@ -7,6 +7,10 @@ rebuild, and the warm-started PQP solve for EVERY step inside one
     python examples/receding_horizon.py [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

@@ -5,6 +5,10 @@ single-instance reference lacks entirely).
     python examples/scenario_batch.py [batch]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 import time
 

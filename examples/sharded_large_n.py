@@ -8,6 +8,10 @@ count — use a virtual CPU mesh to try it without a pod:
         python examples/sharded_large_n.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,10 @@ Equivalent of compiling and running the reference's ``PQP_CPU.c``
     python examples/solve_reference_example.py [path-to-example-dir]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 
 import jax.numpy as jnp

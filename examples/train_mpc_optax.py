@@ -18,6 +18,10 @@ executable; SURVEY.md §5 lists no learning subsystem).
     python examples/train_mpc_optax.py [batch] [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run me from anywhere
+
 import sys
 
 import jax
