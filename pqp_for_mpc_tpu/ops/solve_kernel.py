@@ -111,7 +111,22 @@ def solve_kernel_batch_block(n_pad: int, m_pad: int, b_pad: int,
         vreg_budget = 256 * 1024
         vreg_cap = max(_LANE, (vreg_budget // (3 * n_pad))
                        // _LANE * _LANE)
-    return max(0, min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap))
+    cap = min(bb, b_pad, MAX_SOLVE_BLOCK_B, vreg_cap)
+    # The grid rounds b_pad UP to a multiple of the block
+    # (fused_full_solve), and every padded lane runs the full
+    # per-iteration matvec — a block larger than the batch quantum can
+    # waste most of the launch (e.g. B=1100 at a 1024 block pads to
+    # 2048: 86% dead lanes).  Shrink the block until padding stays
+    # under ~12.5% of the batch; _LANE always satisfies it (<=127
+    # padded lanes).  Exact-multiple workloads (the swept
+    # B=32768/8.4M configs) keep the full cap.
+    c = cap
+    while c > _LANE:
+        pad = -(-b_pad // c) * c - b_pad
+        if pad * 8 <= b_pad:
+            break
+        c = (c // 2) // _LANE * _LANE
+    return max(0, c)
 
 
 def _kernel(cfg_tuple, nm, qdn_ref, qdp_ref, qd_ref, gp_ref, qp_ref,

@@ -162,10 +162,16 @@ def route_solve(n_con: int, batch: int, distinct: bool,
         # chose (and, at condensed-MPC scales, burn max_iters failing
         # the forcing-scale test the flag exists to replace)
         return "xla"
+    if warm and n_con >= 512:
+        # the warm-kernel win was measured at small N only (below);
+        # at N=1024 warm the kernel measured ~6% BEHIND XLA (38.5 vs
+        # 40.7 ms — warm solves are check-dominated and the XLA check
+        # is leaner) — stay on XLA there
+        return "xla"
     # resident, kernel-certifiable cfg: the whole-solve kernel wins for
-    # cold AND warm batches (measured N=96/B=2048 warm scenario
-    # fan-out: fused 0.294 s vs XLA 0.390 s, identical certified
-    # counts — warm starts ride Y0 into the kernel unchanged)
+    # cold AND warm batches at small N (measured N=96/B=2048 warm
+    # scenario fan-out: fused 0.294 s vs XLA 0.390 s, identical
+    # certified counts — warm starts ride Y0 into the kernel unchanged)
     return "fused"
 
 

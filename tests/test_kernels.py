@@ -144,3 +144,20 @@ def test_full_solve_rejects_oversized_problem():
 
     # N so large the matrices alone exceed the operand budget
     assert solve_kernel_batch_block(2048, 1024, 128) == 0
+
+
+def test_solve_kernel_block_limits_batch_padding():
+    """The batch block never forces more than ~12.5% padded lanes: the
+    grid rounds b_pad up to a block multiple and every padded lane runs
+    the full matvec (round-5 review finding — a 1024 block at B=1100
+    would have padded 86% of the launch)."""
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_kernel_batch_block
+
+    for n_pad, b in ((256, 1152), (32, 1280), (512, 896), (256, 32768)):
+        bb = solve_kernel_batch_block(n_pad, max(8, n_pad // 3), b)
+        assert bb >= 128
+        assert bb % 128 == 0
+        pad = -(-b // bb) * bb - b
+        assert pad * 8 <= b or bb == 128, (n_pad, b, bb, pad)
+    # exact-multiple workloads keep the full swept cap
+    assert solve_kernel_batch_block(32, 8, 8388608) == 16384
