@@ -320,7 +320,8 @@ class NonlinearMHE:
     """
 
     def __init__(self, f_disc, C, window: int, Qw, Rv,
-                 w_min=None, w_max=None, P0=None, cfg=None,
+                 w_min=None, w_max=None, y_min=None, y_max=None,
+                 P0=None, cfg=None,
                  sqp_iters: int = 1, band: Optional[int] = None,
                  x_lin=None, u_lin=None,
                  warm_start: bool = True, warm_start_floor: float = 1e-6):
@@ -382,13 +383,19 @@ class NonlinearMHE:
                           B=f32(eye), E=f32(eye),
                           C=f32(np.broadcast_to(C, (N, ny, ns))),
                           name="nonlinear_mhe")
+        # y_min/y_max: hard bounds on the MEASURED OUTPUT of the
+        # estimated trajectory (physically-known sensor/state ranges a
+        # Gaussian filter cannot express) — the stage-wise path takes
+        # them matrix-free, same as MovingHorizonEstimator's surface
         spec = MPCSpec(
             plant=eplant, horizon=N,
             Qy=scale * Qy64, R=scale * R_stack,
             r=np.zeros(ny, np.float32),
             u_min=wmin_stack.astype(np.float32),
             u_max=wmax_stack.astype(np.float32),
-            du_max=np.full(ns, 4 * big, np.float32))
+            du_max=np.full(ns, 4 * big, np.float32),
+            y_min=None if y_min is None else np.asarray(y_min, np.float32),
+            y_max=None if y_max is None else np.asarray(y_max, np.float32))
         self.cfg = MPC_CONFIG if cfg is None else cfg
         self.spec = spec
         self._sd0 = stagewise_dual(spec, theta_floor=self.cfg.theta_floor,
