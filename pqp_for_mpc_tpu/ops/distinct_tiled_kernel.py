@@ -50,8 +50,15 @@ from jax.experimental.pallas import tpu as pltpu
 from pqp_for_mpc_tpu.ops.kernels import _LANE, _SUBLANE, _round_up, \
     VMEM_LIMIT_BYTES
 
-#: row-slab height (ops/tiled_kernel.py's swept optimum)
+#: row-slab height (ops/tiled_kernel.py's swept f32 optimum)
 BLOCK_N = 128
+
+#: row-slab height for the bfloat16 UPDATE stream (the 2-byte slab
+#: halves DMA per row; round-5 sweep on the solve_mixed distinct
+#: N=2048/B=8 workload: bn=128 → 1.261 s, 256 → 1.194 (+5.5%),
+#: 512 → 1.196 — same stale-f32-sweep lesson as
+#: tiled_kernel.MAX_BLOCK_N_BF16)
+BLOCK_N_BF16 = 256
 
 
 def _kernel(cfg_tuple, dims,
@@ -496,11 +503,11 @@ def fused_pqp_iterations_distinct_tiled(Qd, theta, Fdn, Fdp, Y,
     ROUNDED negative rowsums per instance.
     """
     B, N, _ = Qd.shape
-    bn = BLOCK_N
+    bf16_mode = dtype == "bfloat16"
+    bn = BLOCK_N_BF16 if bf16_mode else BLOCK_N
     n_pad = _round_up(_round_up(max(N, _LANE), _LANE), bn)
     dn = n_pad - N
     f32 = jnp.float32
-    bf16_mode = dtype == "bfloat16"
 
     diag = jnp.diagonal(Qd, axis1=1, axis2=2)
     r = jnp.arange(N)

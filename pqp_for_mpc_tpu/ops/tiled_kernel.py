@@ -51,16 +51,25 @@ from jax.experimental.pallas import tpu as pltpu
 from pqp_for_mpc_tpu.ops.kernels import (_LANE, _SUBLANE, _round_up,
                                          VMEM_BUDGET, VMEM_LIMIT_BYTES)
 
-#: row-slab cap.  Swept on v5e at N=4096/highest-precision:
+#: row-slab cap (f32 stream).  Swept on v5e at N=4096/highest-precision:
 #: B=128: bn=128 → 16.4 TF, 256 → 16.4, 512 → 12.3, 1024 → 13.8,
 #: 2048 → 14.8 (XLA path: 12.8); B=256: bn=128 → 21.6 TF, 256 → 15.0,
 #: 512 → 17.8 (XLA: 19.2).  Smaller slabs pipeline the HBM stream behind
 #: the MXU better; 128 wins or ties every config.
 MAX_BLOCK_N = 128
 
+#: row-slab cap for the bfloat16 stream: the 2-byte slab halves the DMA
+#: per row, so the r2 f32 optimum is stale there — round-5 sweep on the
+#: solve_mixed N=4096/B=128 workload: bn=128 → 0.530 s, 256 → 0.494,
+#: 512 → 0.484 (+9.5%), 1024 → 0.572 (regresses).  Grid-step fixed cost
+#: amortizes over the bigger slab until the slab DMA outgrows the
+#: double-buffer window.
+MAX_BLOCK_N_BF16 = 512
+
 
 def pick_tiled_blocks(n: int, b: int,
-                      budget: int = VMEM_BUDGET) -> tuple[int, int]:
+                      budget: int = VMEM_BUDGET,
+                      max_block_n: int = MAX_BLOCK_N) -> tuple[int, int]:
     """Choose ``(block_n, block_b)`` so the working set fits ``budget``:
     the double-buffered ``(bn, n_pad)`` Qd_hat slab, two full ``(n_pad,
     bb)`` Y scratch panels, the double-buffered Y0 input block, and the
@@ -77,7 +86,7 @@ def pick_tiled_blocks(n: int, b: int,
         avail = budget - panels
         cap = (avail // (8 * n_pad)) // _LANE * _LANE   # slab, x2 buffered
         if cap >= _LANE:
-            nblocks = -(-n_pad // min(cap, MAX_BLOCK_N))
+            nblocks = -(-n_pad // min(cap, max_block_n))
             bn = _round_up(-(-n_pad // nblocks), _LANE)
             return (bn, bb)
         bb //= 2
@@ -181,7 +190,9 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
     matvec operand is cast.
     """
     N, B = Y.shape
-    bn0, bb0 = pick_tiled_blocks(N, B)
+    bn0, bb0 = pick_tiled_blocks(
+        N, B, max_block_n=(MAX_BLOCK_N_BF16 if dtype == "bfloat16"
+                           else MAX_BLOCK_N))
     bn = block_n if block_n is not None else bn0
     bb = block_b if block_b is not None else bb0
     if bn <= 0 or bb <= 0:
