@@ -504,8 +504,14 @@ def fused_pqp_iterations_distinct_tiled(Qd, theta, Fdn, Fdp, Y,
     """
     B, N, _ = Qd.shape
     bf16_mode = dtype == "bfloat16"
-    bn = BLOCK_N_BF16 if bf16_mode else BLOCK_N
-    n_pad = _round_up(_round_up(max(N, _LANE), _LANE), bn)
+    n_pad0 = _round_up(max(N, _LANE), _LANE)
+    # the bigger bf16 slab only when it tiles the lane-padded N exactly
+    # — otherwise the raised n_pad quantum inflates the per-iteration
+    # stream by more than the slab win (round-5 review finding: N=1152
+    # at bn=256 would pad to 1280, +23% bytes)
+    bn = (BLOCK_N_BF16 if bf16_mode and n_pad0 % BLOCK_N_BF16 == 0
+          else BLOCK_N)
+    n_pad = _round_up(n_pad0, bn)
     dn = n_pad - N
     f32 = jnp.float32
 

@@ -69,7 +69,8 @@ MAX_BLOCK_N_BF16 = 512
 
 def pick_tiled_blocks(n: int, b: int,
                       budget: int = VMEM_BUDGET,
-                      max_block_n: int = MAX_BLOCK_N) -> tuple[int, int]:
+                      max_block_n: int = MAX_BLOCK_N,
+                      slab_bytes: int = 4) -> tuple[int, int]:
     """Choose ``(block_n, block_b)`` so the working set fits ``budget``:
     the double-buffered ``(bn, n_pad)`` Qd_hat slab, two full ``(n_pad,
     bb)`` Y scratch panels, the double-buffered Y0 input block, and the
@@ -84,11 +85,25 @@ def pick_tiled_blocks(n: int, b: int,
         # Y scratch x2 + Y0 block x2 (double-buffered) + out x2
         panels = 6 * n_pad * bb * 4
         avail = budget - panels
-        cap = (avail // (8 * n_pad)) // _LANE * _LANE   # slab, x2 buffered
+        # slab, x2 double-buffered, at the STREAM dtype's width (the
+        # bf16 stream fits twice the rows — round-5 review finding:
+        # budgeting it at f32 silently halved MAX_BLOCK_N_BF16's win
+        # in exactly the large-N regime it targets)
+        cap = (avail // (2 * slab_bytes * n_pad)) // _LANE * _LANE
         if cap >= _LANE:
-            nblocks = -(-n_pad // min(cap, max_block_n))
-            bn = _round_up(-(-n_pad // nblocks), _LANE)
-            return (bn, bb)
+            # choose the bn <= cap that minimizes the final padded N
+            # (the kernel re-rounds n_pad up to a bn multiple and
+            # streamed bytes scale as n_pad^2 — a bigger slab that
+            # overshoots the padding loses more than it amortizes;
+            # tie-break toward the bigger slab)
+            best_bn, best_pad = _LANE, None
+            c = min(cap, max_block_n)
+            while c >= _LANE:
+                pad = _round_up(n_pad, c) - n_pad
+                if best_pad is None or pad < best_pad:
+                    best_bn, best_pad = c, pad
+                c -= _LANE
+            return (best_bn, bb)
         bb //= 2
     return (0, 0)
 
@@ -190,9 +205,10 @@ def fused_pqp_iterations_tiled(Qd: jax.Array, theta: jax.Array,
     matvec operand is cast.
     """
     N, B = Y.shape
+    bf16_sel = dtype == "bfloat16"
     bn0, bb0 = pick_tiled_blocks(
-        N, B, max_block_n=(MAX_BLOCK_N_BF16 if dtype == "bfloat16"
-                           else MAX_BLOCK_N))
+        N, B, max_block_n=(MAX_BLOCK_N_BF16 if bf16_sel else MAX_BLOCK_N),
+        slab_bytes=(2 if bf16_sel else 4))
     bn = block_n if block_n is not None else bn0
     bb = block_b if block_b is not None else bb0
     if bn <= 0 or bb <= 0:

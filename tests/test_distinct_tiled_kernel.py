@@ -214,3 +214,29 @@ def test_solve_mixed_distinct_kernel_construction_consistent():
     raised = jnp.maximum(theta, jnp.sum(
         jnp.maximum(-Qb.astype(jnp.float32), 0.0), axis=2))
     np.testing.assert_array_equal(np.asarray(theta), np.asarray(raised))
+
+
+def test_distinct_bf16_slab_never_inflates_padding():
+    """The 256-row bf16 slab engages only when it tiles the
+    lane-padded N exactly (N=1152 would otherwise pad to 1280, +23%
+    streamed bytes/iteration)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.ops.distinct_tiled_kernel import (
+        fused_pqp_iterations_distinct_tiled)
+
+    rng = np.random.default_rng(2)
+    B, N = 2, 1152                       # odd multiple of 128
+    G = rng.standard_normal((B, N, 8)).astype(np.float32)
+    Qd = jnp.asarray(np.einsum("bik,bjk->bij", G, G) * 0.05)
+    theta = jnp.asarray(np.maximum(
+        np.maximum(-np.asarray(Qd), 0).sum(2), 5.0).astype(np.float32))
+    Fdn = jnp.asarray(np.abs(rng.standard_normal((N, B))), jnp.float32)
+    Fdp = jnp.asarray(np.abs(rng.standard_normal((N, B))) + 0.5,
+                      jnp.float32)
+    Y = jnp.asarray(np.abs(rng.standard_normal((N, B))), jnp.float32)
+    got = fused_pqp_iterations_distinct_tiled(
+        Qd, theta, Fdn, Fdp, Y, num_iters=3, interpret=True,
+        dtype="bfloat16")
+    want = _xla_distinct_updates(Qd, theta, Fdn, Fdp, Y, 3, "bfloat16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)

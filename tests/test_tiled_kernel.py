@@ -170,3 +170,26 @@ def test_tiled_kernel_bf16_mode_consistent_construction():
         Y = (num / den) * Y
     np.testing.assert_allclose(np.asarray(out), np.asarray(Y),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pick_tiled_blocks_minimizes_stream_padding():
+    """The slab choice never inflates the padded N (streamed bytes
+    scale as n_pad^2): at awkward N the picker falls back to a smaller
+    slab that tiles exactly (round-5 review finding — the bf16 cap of
+    512 would otherwise pad N=4224 to 4608, +19% bytes/iter)."""
+    from pqp_for_mpc_tpu.ops.kernels import _round_up
+    from pqp_for_mpc_tpu.ops.tiled_kernel import pick_tiled_blocks
+
+    # exact multiple: the full bf16 slab is taken
+    bn, _ = pick_tiled_blocks(4096, 128, max_block_n=512, slab_bytes=2)
+    assert bn == 512
+    # awkward N: 4224 = 33*128 — 384 tiles exactly, 512 would pad
+    bn, _ = pick_tiled_blocks(4224, 128, max_block_n=512, slab_bytes=2)
+    assert _round_up(4224, bn) == 4224, bn
+    # f32 path unchanged (its swept optimum is 128)
+    bn, _ = pick_tiled_blocks(4096, 128)
+    assert bn == 128
+    # the bf16 slab budget is 2 bytes/element: at N=8192 the f32-sized
+    # budget capped the slab at 256; the dtype-aware one reaches 512
+    bn, _ = pick_tiled_blocks(8192, 128, max_block_n=512, slab_bytes=2)
+    assert bn == 512
