@@ -204,6 +204,11 @@ def solve_auto(primal: PrimalQP, dual: DualQP,
                              warm=Y0 is not None)
     if engine not in ENGINES:
         raise ValueError(f"unknown engine {engine!r}; one of {ENGINES}")
+    if engine.startswith("fused") and jax.default_backend() != "tpu":
+        raise ValueError(
+            f"engine {engine!r} is a Mosaic TPU kernel and this process "
+            f"is on {jax.default_backend()!r} — use engine='xla'/'mixed' "
+            "(or interpret-mode kernels in tests)")
 
     if engine == "xla":
         return solve_batched(primal, dual, Y0=Y0, cfg=cfg,

@@ -229,3 +229,18 @@ def test_solve_auto_retry_cold_rescues_poisoned_warm_start():
     res2 = solve_auto(primal, dual, Y0=Y0, cfg=cfg, retry_cold=True,
                       engine="mixed")
     assert bool(np.asarray(res2.converged).all())
+
+
+def test_forced_kernel_engine_rejected_off_tpu():
+    """Forcing a Mosaic kernel engine on a non-TPU backend raises a
+    clear error instead of a Mosaic lowering stack trace."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu.dual import dualize
+    from pqp_for_mpc_tpu.io import load_example_dir
+    from pqp_for_mpc_tpu.routing import solve_auto
+
+    data = load_example_dir("/root/reference/example")
+    primal = data.assemble(Qp=jnp.linalg.inv(data.Qp_inv))
+    dual = dualize(primal)
+    with pytest.raises(ValueError, match="Mosaic TPU kernel"):
+        solve_auto(primal, dual, engine="fused")
