@@ -214,11 +214,15 @@ def solve_auto(primal: PrimalQP, dual: DualQP,
         return solve_batched(primal, dual, Y0=Y0, cfg=cfg,
                              retry_cold=retry_cold and Y0 is not None)
     if engine == "mixed":
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and cfg.accel_every:
             # the bf16 streamed update kernels beat the XLA mixed phase
-            # in every MIXED_BENCH_r4/r5 row (ONE 2-byte matrix stream
-            # per update, shared AND distinct geometry); solve_mixed
-            # gates them on the appropriate residency test itself
+            # on every ACCELERATED row (MIXED_BENCH_r5: shared 0.48 vs
+            # 0.60 s, distinct 1.19 vs 1.55 s); without acceleration
+            # the XLA phase wins on current XLA (1.44 vs 1.63 s at
+            # N=4096 — it fuses the relu splits into the dot stream,
+            # re-measured round 5), so the kernel is forced only when
+            # the cfg runs accel chunks.  solve_mixed gates the kernels
+            # on the appropriate residency test itself.
             cfg = dataclasses.replace(cfg, use_pallas=True)
         fn = lambda y0: solve_mixed(primal, dual, Y0=y0, cfg=cfg)
     elif engine == "fused":
