@@ -422,6 +422,11 @@ def solve_fused(primal, dual, Y0=None, cfg=None, interpret: bool = False):
     if dual.Qd.ndim != 2:
         raise ValueError("solve_fused requires shared Qd geometry; use "
                          "solve_fused_distinct for per-instance Qd")
+    if dual.Qdn_theta is None:
+        raise ValueError(
+            "solve_fused holds the MATERIALIZED Qd splits in VMEM — "
+            "rebuild the dual with dualize(materialize_splits=True), or "
+            "use solve_batched / solve_mixed (they never need them)")
     N = dual.n_con
     Fd2 = _as2d(dual.Fd)
     B = Fd2.shape[1]

@@ -62,8 +62,10 @@ def shard_batch(primal: PrimalQP, dual: DualQP, mesh: Mesh,
         Gp=place(primal.Gp, rep), Kp=place(primal.Kp, rep))
     dual = DualQP(
         Qd=place(dual.Qd, rep), theta=place(dual.theta, rep),
-        Qdp_theta=place(dual.Qdp_theta, rep),
-        Qdn_theta=place(dual.Qdn_theta, rep),
+        Qdp_theta=(None if dual.Qdp_theta is None
+                   else place(dual.Qdp_theta, rep)),
+        Qdn_theta=(None if dual.Qdn_theta is None
+                   else place(dual.Qdn_theta, rep)),
         Fd=place_batchlike(dual.Fd) if dual.Fd.ndim == 2 else place(dual.Fd, rep),
         Md=place_batchlike(dual.Md) if dual.Md.ndim == 1 else place(dual.Md, rep),
         Fdp=place_batchlike(dual.Fdp) if dual.Fdp.ndim == 2 else place(dual.Fdp, rep),
@@ -85,6 +87,10 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                       floor_checks: int = 2) -> SolveResult:
     """Tensor-parallel PQP solve with the dual dimension N row-sharded over
     ``model_axis`` and the batch sharded over ``data_axis``.
+
+    Requires the MATERIALIZED Qd splits (each device holds its row
+    blocks of them); rebuild with ``dualize(materialize_splits=True)``
+    if the dual was built without.
 
     Requires N divisible by mesh.shape[model_axis] and B divisible by
     mesh.shape[data_axis] (pad the batch; pad N via the caller if needed —
@@ -367,6 +373,11 @@ def solve_row_sharded(primal: PrimalQP, dual: DualQP,
                               feasible=bvec, Jp=bvec, Jd=bvec,
                               diverged=bvec),
         check_vma=False)
+    if dual.Qdn_theta is None:
+        raise ValueError(
+            "solve_row_sharded needs the MATERIALIZED Qd splits (each "
+            "device holds its row blocks); rebuild the dual with "
+            "dualize(materialize_splits=True)")
     return fn(dual.Qd, dual.Qdn_theta, dual.Qdp_theta, Fd2, Fdp2, Fdn2,
               primal.Kp, primal.Gp, primal.Qp, primal.Qp_inv,
               Fp2, Mp1d, Md1d, Y0,

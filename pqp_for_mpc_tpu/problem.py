@@ -101,8 +101,9 @@ class DualQP:
     Md: jax.Array         # () or (B,)
     theta: jax.Array      # (N,)  — diagonal only; the dense N x N theta of
                           # the reference is all zeros off-diagonal
-    Qdp_theta: jax.Array  # (N, N)
-    Qdn_theta: jax.Array  # (N, N)
+    Qdp_theta: Optional[jax.Array]  # (N, N); None = on-the-fly splits
+    Qdn_theta: Optional[jax.Array]  # (N, N)   (dualize's
+                                    #  materialize_splits=False)
     Fdp: jax.Array        # like Fd
     Fdn: jax.Array        # like Fd
 

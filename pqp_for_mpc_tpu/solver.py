@@ -108,9 +108,22 @@ def pqp_update(dual: DualQP, Y: jax.Array, precision=None,
     """One multiplicative update
     ``Y <- Y * ((Qd^- + th) Y + Fd^-) / ((Qd^+ + th) Y + Fd^+)``
     (updateY2 + updY, PQP_CPU.c:603-618, 590-596).  Y: (N, B).
+
+    With ``dualize(materialize_splits=False)`` the splits are computed
+    on the fly from ``Qd`` inside the dots (current XLA fuses the relu
+    into the single Qd stream — measured never slower, and the
+    geometry's memory halves; see dualize's docstring) with the theta
+    term applied as a separate f32 elementwise add on BOTH sides.
     """
-    num = _mv(dual.Qdn_theta, Y, precision) + _as2d(dual.Fdn)
-    den = _mv(dual.Qdp_theta, Y, precision) + _as2d(dual.Fdp)
+    if dual.Qdn_theta is None:
+        tY = dual.theta.reshape(-1, 1) * Y
+        num = _mv(jnp.maximum(-dual.Qd, 0.0), Y, precision) + tY \
+            + _as2d(dual.Fdn)
+        den = _mv(jnp.maximum(dual.Qd, 0.0), Y, precision) + tY \
+            + _as2d(dual.Fdp)
+    else:
+        num = _mv(dual.Qdn_theta, Y, precision) + _as2d(dual.Fdn)
+        den = _mv(dual.Qdp_theta, Y, precision) + _as2d(dual.Fdp)
     if den_eps:
         den = jnp.maximum(den, den_eps)
     return (num / den) * Y
@@ -383,6 +396,12 @@ def _solve_core(primal: PrimalQP, dual: DualQP, Y0: jax.Array,
         pallas_tiled = not _kernels.fits_vmem(N)
         if pallas_tiled:
             from pqp_for_mpc_tpu.ops import tiled_kernel as _tiled
+        elif dual.Qdn_theta is None:
+            # the resident kernel holds the MATERIALIZED splits in VMEM;
+            # a no-splits dual (dualize(materialize_splits=False)) rides
+            # the XLA body instead (the tiled kernel above never needed
+            # the splits — it reconstructs them from Qd per slab)
+            use_pallas = False
 
     def run_mult_updates(Y, done, n):
         if use_pallas:

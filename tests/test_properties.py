@@ -154,3 +154,51 @@ def test_complementarity_mode_solves_reference_example():
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_no_splits_dual_matches_materialized():
+    """dualize(materialize_splits=False): half the geometry memory, the
+    same certified solution — the splits are computed on the fly inside
+    the update's dots (round 5; current XLA fuses the relu into the
+    single Qd stream, measured never slower on chip)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import SolverConfig, dualize, solve_batched
+    from pqp_for_mpc_tpu.io import load_example_dir
+
+    data = load_example_dir("/root/reference/example")
+    rng = np.random.default_rng(0)
+    x = np.asarray(data.x, np.float32)[:, None] + rng.normal(
+        0, 0.3, (data.x.shape[0], 8)).astype(np.float32)
+    primal = data.assemble(x=jnp.asarray(x), Qp=jnp.linalg.inv(data.Qp_inv))
+    cfg = SolverConfig(max_iters=5000, check_every=8, accel_every=4,
+                       y0=0.01, eaj=1e-4, erj=1e-4, erc=1e-4, eac=1e-4,
+                       strict_weak_duality=False,
+                       gap_from_complementarity=True)
+    d_mat = dualize(primal, theta_floor=cfg.theta_floor)
+    d_fly = dualize(primal, theta_floor=cfg.theta_floor,
+                    materialize_splits=False)
+    assert d_fly.Qdn_theta is None and d_fly.Qdp_theta is None
+    a = solve_batched(primal, d_mat, cfg=cfg)
+    b = solve_batched(primal, d_fly, cfg=cfg)
+    assert bool(np.asarray(a.converged).all())
+    assert bool(np.asarray(b.converged).all())
+    # the theta term accumulates in a different place (inside the dot
+    # vs a separate add) so the programs differ at float-noise scale;
+    # the certified solutions agree to certificate scale
+    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_no_splits_dual_guards_kernel_paths():
+    """The engines that genuinely need materialized splits say so."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from pqp_for_mpc_tpu import dualize
+    from pqp_for_mpc_tpu.io import load_example_dir
+    from pqp_for_mpc_tpu.ops.solve_kernel import solve_fused
+
+    data = load_example_dir("/root/reference/example")
+    primal = data.assemble(Qp=jnp.linalg.inv(data.Qp_inv))
+    d_fly = dualize(primal, materialize_splits=False)
+    with _pytest.raises(ValueError, match="MATERIALIZED"):
+        solve_fused(primal, d_fly)
