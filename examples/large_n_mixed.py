@@ -47,7 +47,10 @@ def build(N, M, B, seed=0):
         Mp=jnp.zeros((B,), jnp.float32),
         Gp=jnp.asarray(rng.normal(0, 1, (N, M)).astype(np.float32)),
         Kp=jnp.asarray(rng.uniform(1, 10, N).astype(np.float32)))
-    return primal, dualize(primal)
+    # split-free geometry (round 5): this example only runs the XLA and
+    # mixed engines, which never need the materialized Qd+-theta
+    # matrices — skipping them halves the dual's memory at large N
+    return primal, dualize(primal, materialize_splits=False)
 
 
 def main():
