@@ -202,6 +202,13 @@ def solve_auto(primal: PrimalQP, dual: DualQP,
     if engine is None:
         engine = route_solve(N, B, distinct, cfg, m_dim=M,
                              warm=Y0 is not None)
+        if dual.Qdn_theta is None and engine.startswith("fused"):
+            # a split-free dual (dualize(materialize_splits=False))
+            # cannot feed the VMEM-resident kernels, which hold the
+            # materialized splits — auto mode downgrades to the best
+            # split-free engine instead of erroring (explicit
+            # engine="fused..." still raises clearly)
+            engine = "mixed" if distinct else "xla"
     if engine not in ENGINES:
         raise ValueError(f"unknown engine {engine!r}; one of {ENGINES}")
     if engine.startswith("fused") and jax.default_backend() != "tpu":

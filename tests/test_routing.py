@@ -244,3 +244,19 @@ def test_forced_kernel_engine_rejected_off_tpu():
     dual = dualize(primal)
     with pytest.raises(ValueError, match="Mosaic TPU kernel"):
         solve_auto(primal, dual, engine="fused")
+
+
+def test_auto_downgrades_on_split_free_dual():
+    """Auto routing never errors on a split-free dual: it downgrades
+    the kernel route to the best split-free engine (the user asked for
+    half-memory geometry, not for an exception)."""
+    import jax.numpy as jnp
+    from pqp_for_mpc_tpu import dualize
+    from pqp_for_mpc_tpu.io import load_example_dir
+    from pqp_for_mpc_tpu.routing import solve_auto
+
+    data = load_example_dir("/root/reference/example")
+    primal = data.assemble(Qp=jnp.linalg.inv(data.Qp_inv))
+    d_fly = dualize(primal, materialize_splits=False)
+    res = solve_auto(primal, d_fly, cfg=_cfg())
+    assert bool(np.asarray(res.converged).all())
